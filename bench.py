@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: N-member ensemble forward simulation + ES-MDA on a 64x64 grid.
+
+The BASELINE.md north-star workload: N=1000 members, 64x64 grid, nTime=40
+steps, 4-step ES-MDA, on TPU. Prints ONE JSON line:
+  {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <x>}
+
+vs_baseline is (target 10 s) / measured — >1 means faster than the target.
+Run with BENCH_SMALL=1 for a quick smoke configuration.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SMALL = os.environ.get("BENCH_SMALL") == "1"
+
+NX = NY = 32 if SMALL else 64
+N_ENS = 64 if SMALL else 1000
+NTIME = 10 if SMALL else 40
+DT = 0.025
+MDA_STEPS = 4
+TARGET_S = 10.0
+
+
+def main():
+    from historymatching_tpu.da.geostat import gaussian_fields_fft
+    from historymatching_tpu.da.update import es_mda, mda_alphas
+    from historymatching_tpu.models.ressim import ResSim
+    from historymatching_tpu.parallel.runner import forward_model, prod_inds
+    from historymatching_tpu.utils import gaussian_noise, temporal_R
+
+    key = jax.random.PRNGKey(1)
+    Lx, Ly = 2.0, 1.0
+    near01 = np.array([0.12, 0.87])
+    prd_xy = [[x, y] for y in Ly * near01 for x in Lx * near01]
+    model = ResSim.build(
+        Nx=NX, Ny=NY, Lx=Lx, Ly=Ly,
+        inj_xy=[[Lx / 2, Ly / 2]],
+        prd_xy=prd_xy,
+        inj_rates=[[1.0]],
+        prd_rates=np.ones((4, 1)) / 4,
+    )
+
+    k_truth, k_prior, k_noise, k_mda = jax.random.split(key, 4)
+    truth = gaussian_fields_fft(k_truth, model.grid, N=1, r=0.8)[0]
+    prior = gaussian_fields_fft(k_prior, model.grid, N=N_ENS, r=0.8)
+
+    # Truth + synthetic obs
+    _, prod_truth = forward_model(model, truth[None], dt=DT, nTime=NTIME)
+    nPrd = prod_truth.shape[-1]
+    _, R12 = temporal_R(NTIME, nPrd)
+    R12 = jnp.asarray(R12, dtype=prior.dtype)
+    noise = (R12 @ jax.random.normal(k_noise, (NTIME * nPrd,), dtype=prior.dtype))
+    obs = jnp.clip(prod_truth[0].reshape(-1) + noise, 0, 1)
+
+    def fwd_obs(E):
+        _, prods = forward_model(model, E, dt=DT, nTime=NTIME)
+        return prods.reshape(prods.shape[0], -1)
+
+    def workload(prior_, key_):
+        return es_mda(prior_, fwd_obs, obs, R12, mda_alphas(MDA_STEPS), key_)
+
+    # Warm-up/compile
+    post = workload(prior[: min(N_ENS, 8)], k_mda)
+    jax.block_until_ready(post)
+
+    t0 = time.perf_counter()
+    post = workload(prior, k_mda)
+    jax.block_until_ready(post)
+    elapsed = time.perf_counter() - t0
+
+    # quality guard: posterior-mean RMSE must beat the prior's
+    def rmse(E):
+        return float(jnp.sqrt(jnp.mean((jnp.mean(E, 0) - truth) ** 2)))
+
+    e_prior, e_post = rmse(prior), rmse(post)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"N={N_ENS} fwd+ES-MDA({MDA_STEPS}) {NX}x{NY} nTime={NTIME} wall-clock",
+                "value": round(elapsed, 3),
+                "unit": "s",
+                "vs_baseline": round(TARGET_S / elapsed, 3),
+                "rmse_prior": round(e_prior, 4),
+                "rmse_post": round(e_post, 4),
+                "posterior_improves": bool(e_post < e_prior),
+                "devices": len(jax.devices()),
+                "backend": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

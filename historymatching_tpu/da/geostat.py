@@ -1,0 +1,130 @@
+"""Geostatistical Gaussian random-field priors.
+
+Re-design of the reference's `tools/geostat.py` (C6 in SURVEY.md). Two
+samplers for the same law (Gaussian variogram / squared-exponential
+covariance):
+
+- `gaussian_fields_chol`: dense distance matrix + jittered Cholesky — exact,
+  O(n^3); matches the reference path (tools/geostat.py:86-99) for small grids.
+- `gaussian_fields_fft`: circulant-embedding spectral sampler — O(n log n),
+  the TPU-native path for 64x64+ grids (the reference notes its dense paths
+  fail beyond ~50^2, tools/geostat.py:95-97). FFTs and the elementwise
+  spectrum scale run on-device.
+
+`gaussian_fields(pts, ...)` picks Cholesky below a size threshold and FFT
+above when `pts` is a regular mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def variogram_gauss(xx, r, n=0.0, a=1.0 / 3.0):
+    """Gaussian variogram with range `r`, nugget `n`, shape `a`.
+
+    gamma(x) = (1-n) * (1 - exp(-x^2 / (r^2 a))), plus nugget `n` for x != 0.
+    Values cross-checked against the reference doctest
+    (tools/geostat.py:19-23): variogram_gauss([0,1,2], 1, n=0.1, a=1)
+    == [0, 0.6689085, 0.98351593].
+    """
+    xx = jnp.asarray(xx, dtype=jnp.result_type(float))
+    gamma = 1 - jnp.exp(-(xx**2) / r**2 / a)
+    gamma = gamma * (1 - n)
+    return jnp.where(xx != 0, gamma + n, gamma)
+
+
+def cov_gauss(dists, r, n=0.0, a=1.0 / 3.0):
+    """Stationary covariance C(d) = 1 - variogram(d)."""
+    return 1.0 - variogram_gauss(dists, r, n=n, a=a)
+
+
+def vectorize(*XYZ):
+    """Mesh arrays -> (nPt, nDim) point list (reference tools/geostat.py:33-40)."""
+    return jnp.stack([jnp.asarray(a) for a in XYZ]).reshape((len(XYZ), -1)).T
+
+
+def dist_euclid(X):
+    """Full pairwise distance matrix of one point set."""
+    X = jnp.asarray(X, dtype=jnp.result_type(float))
+    diff = X[:, None, :] - X[None, :, :]
+    return jnp.sqrt(jnp.sum(diff**2, axis=-1))
+
+
+def gaussian_fields_chol(key, pts, N=1, r=0.2):
+    """Exact dense sampler: fields = randn(N, n) @ chol(Cov + 1e-10 I).
+
+    `pts` is a tuple of mesh/coordinate arrays (as `model.mesh`)."""
+    pts_ = vectorize(*pts)
+    dists = dist_euclid(pts_)
+    Cov = cov_gauss(dists, r)
+    n = Cov.shape[0]
+    # The Gaussian covariance is near-singular (fast eigenvalue decay); the
+    # jitter must sit above the dtype's Cholesky breakdown level. In float32
+    # a 1e-10 jitter is below eps and the factorization NaNs out.
+    jitter = 1e-10 if Cov.dtype == jnp.float64 else 1e-4
+    C12 = jnp.linalg.cholesky(Cov + jitter * jnp.eye(n, dtype=Cov.dtype))  # lower
+    Z = jax.random.normal(key, (N, n), dtype=Cov.dtype)
+    return Z @ C12.T
+
+
+def _embedding_spectrum(Nx, Ny, hx, hy, r):
+    """Real FFT spectrum of the covariance on a doubled periodic grid.
+
+    Negative eigenvalues of the embedding (possible for very smooth kernels)
+    are clipped to zero — the standard circulant-embedding fallback; the
+    resulting bias is checked in tests against the exact Cholesky sampler.
+    """
+    Mx, My = 2 * Nx, 2 * Ny
+    ix = np.minimum(np.arange(Mx), Mx - np.arange(Mx)) * hx
+    iy = np.minimum(np.arange(My), My - np.arange(My)) * hy
+    d = np.sqrt(ix[:, None] ** 2 + iy[None, :] ** 2)
+    C = np.asarray(cov_gauss(d, r))
+    S = np.fft.fft2(C).real
+    S = np.maximum(S, 0.0)
+    return jnp.asarray(S), (Mx, My)
+
+
+def gaussian_fields_fft(key, grid, N=1, r=0.2):
+    """Spectral (circulant embedding) sampler on a regular `Grid2D`.
+
+    Returns (N, Nxy) fields flattened in the grid's C-order over (Nx, Ny).
+    O(N * M log M); the FFT and spectrum scaling are pure XLA ops.
+    """
+    S, (Mx, My) = _embedding_spectrum(grid.Nx, grid.Ny, grid.hx, grid.hy, r)
+    # field = Re(FFT(sqrt(S/M) * zeta)) with zeta complex white noise
+    # (Re, Im parts iid N(0,1)) has exactly covariance C on the embedded torus.
+    amp = jnp.sqrt(S / (Mx * My))
+    k1, k2 = jax.random.split(key)
+    dtype = jnp.result_type(float)
+    Z = jax.random.normal(k1, (N, Mx, My), dtype=dtype) + 1j * jax.random.normal(
+        k2, (N, Mx, My), dtype=dtype
+    )
+    fields = jnp.real(jnp.fft.fft2(amp[None] * Z))
+    return fields[:, : grid.Nx, : grid.Ny].reshape(N, grid.Nxy)
+
+
+def gaussian_fields(pts, N=1, r=0.2, key=None, grid=None):
+    """Sample N stationary Gaussian random fields with unit variance.
+
+    Drop-in analogue of the reference `gaussian_fields(pts, N, r)`
+    (tools/geostat.py:86-99) with an explicit PRNG `key`. If `grid` is given
+    the FFT (circulant-embedding) sampler is used — exact on the embedded
+    torus, O(n log n), and factorization-free (the dense Cholesky of the
+    near-singular Gaussian covariance is fragile in float32). The dense
+    Cholesky path serves irregular point sets.
+    """
+    if key is None:
+        raise ValueError("gaussian_fields requires an explicit jax.random key")
+    if grid is not None:
+        return gaussian_fields_fft(key, grid, N=N, r=r)
+    return gaussian_fields_chol(key, pts, N=N, r=r)
+
+
+def sample_prior_perm(key, model, N, r=0.8):
+    """Prior pre-permeability fields for a model/grid
+    (reference HistoryMatch.py:151-153: gaussian_fields(model.mesh, N, r=0.8))."""
+    grid = getattr(model, "grid", model)
+    return gaussian_fields(grid.mesh, N=N, r=r, key=key, grid=grid)

@@ -1,0 +1,90 @@
+"""Distance-based localization: distances, tapers, partitioning.
+
+Covers the reference's `tools/localization.py` (C5 in SURVEY.md: pairwise
+distances with optional periodic domain, the "bump" compact-support taper
+preferred over Gaspari-Cohn, and rectangular batch partitioning). All
+distance/taper math is jnp and jit-safe; partitioning is host-side (static
+index sets).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pairwise_distances(A, B=None, domain=None):
+    """Euclidean distances between point sets.
+
+    Parameters
+    ----------
+    A : (nA, nDims) points. A 1-D input is treated as a single point
+        (same convention as reference tools/localization.py:58-60).
+    B : (nB, nDims) points; defaults to `A`.
+    domain : optional tuple of periods — treat the domain as a periodic
+        hyper-rectangle: per-dim distance is min(|d|, L - |d|).
+
+    Returns
+    -------
+    (nA, nB) distance matrix.
+    """
+    A = jnp.atleast_2d(jnp.asarray(A, dtype=jnp.result_type(float)))
+    B = A if B is None else jnp.atleast_2d(jnp.asarray(B, dtype=jnp.result_type(float)))
+    if A.shape[-1] != B.shape[-1]:
+        raise ValueError("The last axis of A and B must have equal length.")
+    d = A[:, None, :] - B[None, :, :]
+    if domain is not None:
+        L = jnp.reshape(jnp.asarray(domain, dtype=d.dtype), (1, 1, -1))
+        d = jnp.abs(d)
+        d = jnp.minimum(d, L - d)
+    return jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+
+def bump(distances, sharpness=1):
+    """Compact-support 'bump' taper: exp(1 - 1/(1-x^2))^sharpness for |x|<1,
+    else 0 (reference tools/localization.py:86-92).
+
+    jit-safe: the singular 1/(1-x^2) is guarded with a masked denominator.
+    """
+    x = jnp.asarray(distances)
+    inside = jnp.abs(x) < 1
+    denom = jnp.where(inside, 1 - x * x, 1.0)  # avoid div-by-0 outside support
+    v = jnp.exp(1 - 1 / denom) ** sharpness
+    return jnp.where(inside, v, 0.0)
+
+
+def dist_to_obs(grid, obs_inds, nTime=1, domain=None):
+    """Distances from every cell centre to each observation location,
+    tiled over `nTime` (reference HistoryMatch.py:700-717).
+
+    Returns (Nxy, nObs*nTime).
+    """
+    xy_prm = np.asarray(grid.ind2xy(np.arange(grid.Nxy))).T  # (Nxy, 2)
+    xy_obs = np.asarray(grid.ind2xy(np.asarray(obs_inds))).T  # (nObs, 2)
+    # Repeat the obs block once per time step, well index varying fastest —
+    # flat obs index = t*nObs + well, matching the `vect` flattening of
+    # (nTime, nPrd) series (reference HistoryMatch.py:712,744).
+    xy_obs = np.tile(xy_obs, (nTime, 1))  # (nTime*nObs, 2)
+    return pairwise_distances(xy_prm, xy_obs, domain=domain)
+
+
+def rectangular_partitioning(shape, steps, do_ind=True):
+    """N-D rectangular batch generation for batched local analysis.
+
+    Host-side (static): returns a list of flat-index arrays, one per batch
+    (reference tools/localization.py:95-145). Useful to group cells into
+    domains so the per-domain local update runs as one batched matmul.
+    """
+    assert len(shape) == len(steps)
+    nLocs = [round(n / d) for n, d in zip(shape, steps)]
+    edge_partitions = [np.array_split(np.arange(n), nLoc) for n, nLoc in zip(shape, nLocs)]
+    batches = []
+    for batch_edges in itertools.product(*edge_partitions):
+        batch_rect = np.meshgrid(*batch_edges, indexing="ij")
+        coords = [ii.flatten() for ii in batch_rect]
+        batches.append(coords)
+    if do_ind:
+        batches = [np.ravel_multi_index(b, shape) for b in batches]
+    return batches

@@ -1,0 +1,243 @@
+"""Ensemble analysis (Kalman/conditioning) updates.
+
+TPU-first re-design of the reference's DA layer (SURVEY.md C1h-C1l):
+
+- `ens_update0` — stochastic ensemble smoother (ES). Same math as reference
+  HistoryMatch.py:578-586 (transposed convention, rows = members), but the
+  inversion is a Cholesky solve, and when nObs > N the ensemble-space
+  (Woodbury) form is used: pinv(S'S + cI) S' == S' pinv(SS' + cI), so the
+  solve is N x N instead of p x p. All dense MXU matmuls.
+- `ens_update0_loc` — localized ES: per-state-element ("local/domain")
+  analysis, `vmap`ed over cells with *masked full-width* algebra: tapered
+  columns with weight below the reference's cutoff (sqrt(taper) > 1e-2,
+  HistoryMatch.py:789) are zeroed, which reproduces the reference's ragged
+  column-subset update exactly (zero columns decouple from the solve).
+- `ies` / `iles` — subspace Gauss-Newton iterative smoothers (Raanes et al.
+  2019; reference HistoryMatch.py:906-944, 1007-1064). The GN posterior
+  covariance of w uses eigh(Y0 Y0') instead of the reference's
+  SVD-with-excess-N-zero-padding — algebraically identical: eigh returns all
+  N eigenvalues, zeros included, so covw = V diag(1/(N-1+lambda)) V'.
+- `es_mda` — ensemble smoother with multiple data assimilation (not in the
+  reference; required by BASELINE.md): iterate `ens_update0` with obs-error
+  covariance inflated by alpha_i, sum(1/alpha_i) = 1.
+
+ES0 (data-space inversion, reference HistoryMatch.py:1156) is `ens_update0`
+applied to the production-forecast ensemble itself — no separate code needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from historymatching_tpu.utils import center, gaussian_noise
+
+
+def decorrelator(R12):
+    """Whitening operator from a lower Cholesky factor of R: inv(R12.T),
+    applied from the right to row-vector samples (reference HistoryMatch.py:639)."""
+    return jnp.linalg.inv(jnp.asarray(R12).T)
+
+
+def _kalman_term(S, D, X):
+    """Compute D @ inv(S'S + (N-1)I) @ S' @ X, choosing obs- or
+    ensemble-space form by static dims."""
+    N = S.shape[0]
+    p = S.shape[1]
+    c = N - 1.0
+    if p <= N:
+        C = S.T @ S + c * jnp.eye(p, dtype=S.dtype)
+        return D @ jsl.solve(C, S.T @ X, assume_a="pos")
+    G = S @ S.T + c * jnp.eye(N, dtype=S.dtype)
+    return (D @ S.T) @ jsl.solve(G, X, assume_a="pos")
+
+
+def ens_update0(prior_ens, obs_ens, obs, perturbs, decorr):
+    """Stochastic ES analysis update (rows = members).
+
+    Args mirror the reference (HistoryMatch.py:578-586): `obs_ens` is the
+    observed ensemble (N, p); `obs` the data vector (p,); `perturbs` (N, p)
+    sampled with the obs-error law; `decorr` the whitening matrix.
+    """
+    prior_ens = jnp.asarray(prior_ens)
+    X, _ = center(prior_ens)
+    Y, _ = center(jnp.asarray(obs_ens))
+    S = Y @ decorr
+    D = (obs - obs_ens - perturbs) @ decorr
+    return prior_ens + _kalman_term(S, D, X)
+
+
+def _taper_weights(taper):
+    """Squared taper with the reference's activation cutoff
+    (ci = sqrt(taper) > 1e-2  <=>  taper > 1e-4)."""
+    taper = jnp.asarray(taper)
+    return jnp.where(taper > 1e-4, taper, 0.0)
+
+
+def ens_update0_loc(prior_ens, obs_ens, obs, perturbs, decorr, taper):
+    """Localized (local/domain analysis) ES update.
+
+    `taper` has shape (M, p): taper[i, j] weights obs j for state element i
+    (reference HistoryMatch.py:774-797). The per-cell update
+        dE_i = D_i inv(S_i'S_i + cI) S_i' X[:, i],  S_i = S * c_i
+    is evaluated in ensemble space,
+        dE_i = (D w_i) S' inv(S diag(w_i) S' + cI) X[:, i],  w_i = c_i^2,
+    and vmapped over all M cells — batched N x N solves on the MXU instead of
+    the reference's Python `map` over ragged obs subsets.
+    """
+    prior_ens = jnp.asarray(prior_ens)
+    N = prior_ens.shape[0]
+    X, _ = center(prior_ens)
+    Y, _ = center(jnp.asarray(obs_ens))
+    S = Y @ decorr
+    D = (obs - obs_ens - perturbs) @ decorr
+    W = _taper_weights(taper)  # (M, p)
+    c = N - 1.0
+    eye = jnp.eye(N, dtype=S.dtype)
+
+    def local(x_col, w):
+        Sw = S * w  # (N, p) — S diag(w)
+        G = Sw @ S.T + c * eye
+        # Symmetrize (floating point) before the Cholesky solve.
+        G = 0.5 * (G + G.T)
+        return (D * w) @ (S.T @ jsl.solve(G, x_col, assume_a="pos"))
+
+    dE = jax.vmap(local, in_axes=(1, 0), out_axes=1)(X, W)  # (N, M)
+    return prior_ens + dE
+
+
+# -- iterative smoothers -------------------------------------------------------
+
+
+def _gn_covw(Y0, N):
+    """Gauss-Newton posterior covariance of w: V diag(1/(N-1+lambda)) V'
+    with (lambda, V) = eigh(Y0 Y0'). Equivalent to the reference's SVD with
+    excess-N zero-padding (HistoryMatch.py:934-938)."""
+    G = Y0 @ Y0.T
+    G = 0.5 * (G + G.T)
+    lam, V = jnp.linalg.eigh(G)
+    lam = jnp.maximum(lam, 0.0)
+    return (V / (N - 1.0 + lam)) @ V.T
+
+
+def _ies_inner(W, Eo_w, y_w, D_w, xStep):
+    """One jitted IES Gauss-Newton step in the N x N weight matrix W."""
+    N = W.shape[0]
+    W0 = jnp.eye(N, dtype=W.dtype)
+    Y0 = center(jnp.linalg.pinv(W))[0] @ Eo_w
+    grad_y = (y_w - D_w - Eo_w) @ Y0.T
+    grad_b = (N - 1.0) * (W0 - W)
+    covw = _gn_covw(Y0, N)
+    return W + xStep * ((grad_y + grad_b) @ covw)
+
+
+def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4):
+    """Iterative ensemble smoother (subspace GN; reference HistoryMatch.py:906-944).
+
+    `obs_ens` is a *callable* E -> observed ensemble (the forward model runs
+    once per iteration; host loop around a jitted inner step).
+    Returns (posterior_ens, stats) with stats = {"E": [...], "Eo": [...]}.
+    """
+    prior_ens = jnp.asarray(prior_ens)
+    y = jnp.asarray(obs) @ decorr
+    D = jnp.asarray(perturbs) @ decorr
+    X0, x0 = center(prior_ens)
+    W = jnp.eye(prior_ens.shape[0], dtype=prior_ens.dtype)
+    inner = jax.jit(_ies_inner)
+    stats = {"E": [], "Eo": []}
+    for _ in range(iMax):
+        E = x0 + W @ X0
+        Eo = jnp.asarray(obs_ens(E))
+        stats["E"].append(E)
+        stats["Eo"].append(Eo)
+        W = inner(W, Eo @ decorr, y, D, xStep)
+    stats = {k: jnp.stack(v) for k, v in stats.items()}
+    return x0 + W @ X0, stats
+
+
+def _iles_inner(Ws, Eo_w, obs_w_innov, xStep, weights):
+    """One jitted ILES step: per-cell GN update of Ws (M, N, N).
+
+    `obs_w_innov` = (obs - Eo - perturbs) @ decorr, (N, p).
+    `weights` = squared taper with cutoff, (M, p).
+    """
+    N = Ws.shape[1]
+    W0 = jnp.eye(N, dtype=Ws.dtype)
+    S, _ = center(Eo_w)
+
+    def local(Wi, w):
+        # With c = sqrt(taper) the reference uses Si = S*c, Di = D*c,
+        # Y0i = T @ Si (T = centered pinv(Wi)). Folding both c factors into
+        # w = c^2 on one side: grad_y = Di Y0i' = (D*w) B',
+        # Y0i Y0i' = (B*w) B', where B = T @ S.
+        B = center(jnp.linalg.pinv(Wi))[0] @ S
+        grad_y = (obs_w_innov * w) @ B.T
+        G = (B * w) @ B.T
+        G = 0.5 * (G + G.T)
+        lam, V = jnp.linalg.eigh(G)
+        lam = jnp.maximum(lam, 0.0)
+        covw = (V / (N - 1.0 + lam)) @ V.T
+        grad_b = (N - 1.0) * (W0 - Wi)
+        return Wi + xStep * ((grad_y + grad_b) @ covw)
+
+    return jax.vmap(local)(Ws, weights)
+
+
+def _recompose(x0, X0, Ws):
+    """E[:, i] = x0[i] + Ws[i] @ X0[:, i] (reference HistoryMatch.py:1020-1021)."""
+    return x0 + jnp.einsum("mab,bm->am", Ws, X0)
+
+
+def iles(prior_ens, obs_ens, obs, perturbs, decorr, taper, xStep=1.0, iMax=4):
+    """Localized iterative ensemble smoother: one weight matrix per state
+    element (reference HistoryMatch.py:1007-1064), vmapped over cells."""
+    prior_ens = jnp.asarray(prior_ens)
+    N, M = prior_ens.shape
+    X0, x0 = center(prior_ens)
+    Ws = jnp.broadcast_to(jnp.eye(N, dtype=prior_ens.dtype), (M, N, N))
+    weights = _taper_weights(taper)
+    inner = jax.jit(_iles_inner)
+    stats = {"E": [], "Eo": []}
+    for _ in range(iMax):
+        E = _recompose(x0, X0, Ws)
+        Eo = jnp.asarray(obs_ens(E))
+        stats["E"].append(E)
+        stats["Eo"].append(Eo)
+        innov = (jnp.asarray(obs) - Eo - perturbs) @ decorr
+        Ws = inner(Ws, Eo @ decorr, innov, xStep, weights)
+    stats = {k: jnp.stack(v) for k, v in stats.items()}
+    return _recompose(x0, X0, Ws), stats
+
+
+# -- ES-MDA --------------------------------------------------------------------
+
+
+def mda_alphas(n):
+    """Canonical constant MDA inflation schedule: alpha_i = n, sum 1/alpha = 1."""
+    return jnp.full((n,), float(n))
+
+
+def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None):
+    """ES-MDA: iterated stochastic ES with inflated obs-error covariance.
+
+    Each step i re-runs `forward_obs` on the current ensemble and applies
+    `ens_update0` (or the localized variant if `taper` is given) with
+    R -> alpha_i R, i.e. perturbs *= sqrt(alpha_i), decorr /= sqrt(alpha_i).
+    With alphas = [1.0] this is exactly one ES step.
+    """
+    E = jnp.asarray(prior_ens)
+    R12 = jnp.asarray(R12)
+    p = R12.shape[0]
+    N = E.shape[0]
+    dec0 = decorrelator(R12)
+    for a in jnp.asarray(alphas):
+        key, sub = jax.random.split(key)
+        Eo = jnp.asarray(forward_obs(E))
+        perturbs = jnp.sqrt(a) * gaussian_noise(sub, N, p, L=R12)
+        dec = dec0 / jnp.sqrt(a)
+        if taper is None:
+            E = ens_update0(E, Eo, obs, perturbs, dec)
+        else:
+            E = ens_update0_loc(E, Eo, obs, perturbs, dec, taper)
+    return E

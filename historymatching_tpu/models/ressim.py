@@ -1,0 +1,393 @@
+"""2D two-phase incompressible reservoir simulator (TPFA), TPU-native.
+
+Re-implements from scratch the physics of the reference's external simulator
+`TPFA_ResSim` (API surface reconstructed in SURVEY.md §2.2; physics per the
+cited Aarnes/Gimse/Lie Matlab-origin description, reference
+notebooks/HistoryMatch.py:93-95): per time step,
+
+1. pressure: TPFA 5-point system with harmonic inter-cell transmissibilities
+   from K * total mobility lambda_t(s) — solved here by matrix-free Jacobi-CG
+   (warm-started), not sparse direct;
+2. Darcy face fluxes from pressure differences;
+3. explicit upwind saturation transport with CFL-limited sub-stepping
+   (dynamic trip count via `lax.fori_loop`; static shapes throughout);
+quadratic (Corey) relative permeabilities, fractional flow fw = Mw/(Mw+Mo).
+
+Design: the model is an immutable pytree dataclass (`.replace(...)` instead
+of the reference's deepcopy+setattr "remake", Optimise.py:131-144); the whole
+`simulate` is one `lax.scan` over time, jit/vmap/shard_map-able; no
+exceptions under jit — validity (rate balance, wells in domain, CG
+convergence) is returned as a flag (exception-as-penalty equivalent,
+Optimise.py:120-125).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from historymatching_tpu.grid import Grid2D
+from historymatching_tpu.ops.cg import pcg
+from historymatching_tpu.ops.multigrid import build_hierarchy, n_levels, vcycle_solver
+from historymatching_tpu.ops.stencil import (
+    face_fluxes,
+    stencil_diag_nopin,
+    stencil_matvec,
+    transmissibilities,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Fluid:
+    """Two-phase fluid: viscosities and irreducible saturations."""
+
+    vw: float = 1.0  # water viscosity
+    vo: float = 1.0  # oil viscosity
+    swc: float = 0.0  # connate water saturation
+    sor: float = 0.0  # residual oil saturation
+
+
+def _f(x):
+    return jnp.asarray(x, dtype=jnp.result_type(float))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ResSim:
+    """Immutable reservoir model configuration (pytree).
+
+    Array leaves: K (2, Nx, Ny) direction permeabilities; well coordinates
+    (nWell, 2); well rates (nWell, nT) with nT == 1 meaning constant-in-time
+    (reference S1.4/S1.5). Static metadata: grid, fluid, name.
+    """
+
+    K: jax.Array
+    inj_xy: jax.Array
+    prd_xy: jax.Array
+    inj_rates: jax.Array
+    prd_rates: jax.Array
+    grid: Grid2D = dataclasses.field(metadata=dict(static=True))
+    fluid: Fluid = dataclasses.field(metadata=dict(static=True))
+    name: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        Nx=32,
+        Ny=32,
+        Lx=1.0,
+        Ly=1.0,
+        K=None,
+        inj_xy=None,
+        prd_xy=None,
+        inj_rates=None,
+        prd_rates=None,
+        fluid=None,
+        name="",
+    ):
+        """Convenience constructor mirroring `ResSim(Nx=20, Ny=20, Lx=2, Ly=1)`
+        (reference HistoryMatch.py:97). Wells default to a centre injector and
+        a far-corner producer with balanced unit rates."""
+        grid = Grid2D(Nx=Nx, Ny=Ny, Lx=Lx, Ly=Ly)
+        if K is None:
+            K = np.ones((2, Nx, Ny))
+        if inj_xy is None:
+            inj_xy = [[Lx / 2, Ly / 2]]
+        if prd_xy is None:
+            prd_xy = [[Lx - grid.hx / 2, Ly - grid.hy / 2]]
+        if inj_rates is None:
+            inj_rates = np.ones((len(np.atleast_2d(inj_xy)), 1))
+        if prd_rates is None:
+            n = len(np.atleast_2d(prd_xy))
+            prd_rates = np.ones((n, 1)) / n
+        return cls(
+            K=_f(K),
+            inj_xy=jnp.atleast_2d(_f(inj_xy)),
+            prd_xy=jnp.atleast_2d(_f(prd_xy)),
+            inj_rates=jnp.atleast_2d(_f(inj_rates)),
+            prd_rates=jnp.atleast_2d(_f(prd_rates)),
+            grid=grid,
+            fluid=fluid or Fluid(),
+            name=name,
+        )
+
+    def replace(self, **kw):
+        """Functional reconfiguration — the `remake` equivalent
+        (reference Optimise.py:131-144). Arrays are canonicalized."""
+        for k in ("K", "inj_xy", "prd_xy", "inj_rates", "prd_rates"):
+            if k in kw:
+                v = _f(kw[k])
+                if k != "K":
+                    v = jnp.atleast_2d(v)
+                kw[k] = v
+        return dataclasses.replace(self, **kw)
+
+    # -- geometry delegation (reference S1.2/S1.3 surface) -------------------
+    @property
+    def Nx(self):
+        return self.grid.Nx
+
+    @property
+    def Ny(self):
+        return self.grid.Ny
+
+    @property
+    def Lx(self):
+        return self.grid.Lx
+
+    @property
+    def Ly(self):
+        return self.grid.Ly
+
+    @property
+    def Nxy(self):
+        return self.grid.Nxy
+
+    @property
+    def shape(self):
+        return self.grid.shape
+
+    @property
+    def mesh(self):
+        return self.grid.mesh
+
+    @property
+    def domain(self):
+        return self.grid.domain
+
+    @property
+    def nInj(self):
+        return self.inj_xy.shape[0]
+
+    @property
+    def nPrd(self):
+        return self.prd_xy.shape[0]
+
+    def sub2ind(self, ix, iy):
+        return self.grid.sub2ind(ix, iy)
+
+    def ind2xy(self, ind):
+        return self.grid.ind2xy(ind)
+
+    def xy2ind(self, x, y):
+        return self.grid.xy2ind(x, y)
+
+    def sub2xy(self, ix, iy):
+        return self.grid.sub2xy(ix, iy)
+
+    # -- simulation -----------------------------------------------------------
+    def sim(self, dt, nTime, wsat0, pbar=None, **kw):
+        """Reference-style entry (S1.7): returns saturations (nTime+1, Nxy),
+        including the initial state. `pbar` accepted for API parity (no-op —
+        the whole loop is one compiled scan)."""
+        del pbar
+        return simulate(self, wsat0, dt, nTime, **kw).wsats
+
+    def validate(self):
+        """Host-side eager validation — raises like the reference simulator
+        (HistoryMatch.py:182-184) on unbalanced rates or out-of-domain wells."""
+        inj = np.atleast_2d(np.asarray(self.inj_rates))
+        prd = np.atleast_2d(np.asarray(self.prd_rates))
+        ti, tp = inj.sum(0), prd.sum(0)
+        if not np.allclose(ti, tp.repeat(len(ti)) if tp.size == 1 else tp):
+            raise ValueError(f"Unbalanced rates: inj {ti} != prd {tp}")
+        for xy, lbl in ((self.inj_xy, "inj"), (self.prd_xy, "prd")):
+            xy = np.asarray(xy)
+            ok = (xy[:, 0] >= 0) & (xy[:, 0] <= self.Lx) & (xy[:, 1] >= 0) & (xy[:, 1] <= self.Ly)
+            if not ok.all():
+                raise ValueError(f"{lbl}_xy outside domain: {xy[~ok]}")
+        return self
+
+
+class SimResult(NamedTuple):
+    """Outputs of `simulate` (pytree)."""
+
+    wsats: jax.Array  # (nTime+1, Nxy) saturation history incl. initial state
+    actual_inj_rates: jax.Array  # (nInj, nTime) rates actually applied
+    actual_prd_rates: jax.Array  # (nPrd, nTime)
+    valid: jax.Array  # bool: rates balanced, wells in domain, CG converged
+    cg_iters: jax.Array  # (nTime,) pressure-solve iteration counts
+    substeps: jax.Array  # (nTime,) transport CFL substep counts
+
+
+# -- physics helpers -----------------------------------------------------------
+
+
+def relperm(s, fluid: Fluid):
+    """Quadratic (Corey) mobilities. Returns (Mw, Mo)."""
+    S = (s - fluid.swc) / (1.0 - fluid.swc - fluid.sor)
+    Mw = S**2 / fluid.vw
+    Mo = (1.0 - S) ** 2 / fluid.vo
+    return Mw, Mo
+
+
+def frac_flow(s, fluid: Fluid):
+    Mw, Mo = relperm(s, fluid)
+    return Mw / (Mw + Mo)
+
+
+def _rates_seq(rates, nTime):
+    """(nWell, nT) -> (nTime, nWell); nT==1 broadcasts (constant-in-time)."""
+    rates = jnp.atleast_2d(rates)
+    nT = rates.shape[1]
+    if nT == 1:
+        return jnp.broadcast_to(rates[:, 0], (nTime, rates.shape[0]))
+    if nT != nTime:
+        raise ValueError(f"rates have {nT} steps; expected 1 or {nTime}")
+    return rates.T
+
+
+def _source_field(model: ResSim, inj_t, prd_t):
+    """Assemble the (Nx, Ny) volumetric source field for one time step.
+    Wells collocate to cell centres (scatter-add; traceable well coords)."""
+    g = model.grid
+    q = jnp.zeros((g.Nxy,), dtype=inj_t.dtype)
+    inj_ind = g.xy2ind(model.inj_xy[:, 0], model.inj_xy[:, 1])
+    prd_ind = g.xy2ind(model.prd_xy[:, 0], model.prd_xy[:, 1])
+    q = q.at[inj_ind].add(inj_t)
+    q = q.at[prd_ind].add(-prd_t)
+    return q.reshape(g.shape)
+
+
+def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg"):
+    """TPFA pressure solve for saturation field `s` (Nx, Ny) and source `q`.
+    Returns (p, Fx, Fy, iters, accepted). `accepted` compares the achieved
+    true relative residual against `tol_accept` (defaults to `tol`) — float32
+    solves on high-contrast fields have an accuracy floor above the target.
+
+    `precond`: "mg" (multigrid V-cycle; near grid-independent CG counts and a
+    much lower float32 floor) or "jacobi". Falls back to Jacobi when the grid
+    has no coarsenable hierarchy."""
+    g = model.grid
+    Mw, Mo = relperm(s, model.fluid)
+    mob = Mw + Mo
+    Kx = model.K[0] * mob
+    Ky = model.K[1] * mob
+    TX, TY = transmissibilities(Kx, Ky, g.hx, g.hy)
+    diag_np = stencil_diag_nopin(TX, TY)
+    pin = jnp.mean(diag_np)
+    diag = diag_np.at[0, 0].add(pin)
+    matvec = lambda p: stencil_matvec(TX, TY, diag, p)  # noqa: E731
+    if precond == "mg" and n_levels(g.Nx, g.Ny) >= 2:
+        hierarchy = build_hierarchy(TX, TY, pin)
+        Minv = vcycle_solver(hierarchy)
+        restart_every = 8
+    else:
+        Minv = 1.0 / diag
+        restart_every = 64
+    p, iters, rel_res = pcg(
+        matvec, q, x0=p0, Minv=Minv, tol=tol, maxiter=maxiter, restart_every=restart_every
+    )
+    Fx, Fy = face_fluxes(TX, TY, p)
+    accepted = rel_res <= (tol if tol_accept is None else tol_accept)
+    return p, Fx, Fy, iters, accepted
+
+
+def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096):
+    """Explicit upwind transport over one outer step `dt`, with CFL-limited
+    sub-stepping (matlab-origin rule: pm = min(pv/influx),
+    cfl = (1-swc-sor)/3 * pm, Nts = ceil(dt/cfl)).
+
+    Dynamic substep count via `fori_loop` with a traced bound — shapes stay
+    static; under vmap the batch runs to the max count with masked lanes.
+    """
+    g = model.grid
+    fl = model.fluid
+    pv = g.h2  # pore volume per cell (porosity = 1)
+
+    fi = jnp.maximum(q, 0.0)  # injection (water in, fw = 1)
+    fp = jnp.minimum(q, 0.0)  # production (carries local fw)
+
+    XP, XN = jnp.maximum(Fx, 0.0), jnp.minimum(Fx, 0.0)
+    YP, YN = jnp.maximum(Fy, 0.0), jnp.minimum(Fy, 0.0)
+    # Total influx into each cell (+ well injection)
+    Vi = XP[:-1, :] + YP[:, :-1] - XN[1:, :] - YN[:, 1:]
+    inflow = Vi + fi
+    pm = jnp.min(jnp.where(inflow > 0, pv / jnp.where(inflow > 0, inflow, 1.0), jnp.inf))
+    cfl = (1.0 - fl.swc - fl.sor) / 3.0 * pm
+    n_sub = jnp.clip(jnp.ceil(dt / cfl), 1, max_substeps).astype(jnp.int32)
+    dts = dt / n_sub.astype(s.dtype)
+
+    def substep(_, s):
+        fw = frac_flow(s, fl)
+        # Upwind water flux across faces: donor-cell fw.
+        fw_l = jnp.pad(fw, ((1, 0), (0, 0)))  # fw of left cell at x-face i
+        fw_r = jnp.pad(fw, ((0, 1), (0, 0)))
+        Fw_x = XP * fw_l + XN * fw_r
+        fw_d = jnp.pad(fw, ((0, 0), (1, 0)))
+        fw_u = jnp.pad(fw, ((0, 0), (0, 1)))
+        Fw_y = YP * fw_d + YN * fw_u
+        div = (Fw_x[1:, :] - Fw_x[:-1, :]) + (Fw_y[:, 1:] - Fw_y[:, :-1])
+        s_new = s + (dts / pv) * (fi + fp * fw - div)
+        # Physical clamp: the monotone upwind scheme keeps s in [swc, 1-sor]
+        # in exact arithmetic; float roundoff (and any pressure-solve floor)
+        # can push it out, where the CFL bound's |f'| <= 3 premise fails.
+        return jnp.clip(s_new, fl.swc, 1.0 - fl.sor)
+
+    s = lax.fori_loop(0, n_sub, substep, s)
+    return s, n_sub
+
+
+def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
+             max_substeps=4096, precond="mg"):
+    """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
+
+    Restartable from any state (reference HistoryMatch.py:366-374): pass the
+    last row of a previous run's `wsats` as `wsat0`. Fully jit/vmap-able.
+    """
+    g = model.grid
+    dtype = jnp.result_type(jnp.asarray(wsat0).dtype, float)
+    if tol is None:
+        tol = 1e-10 if dtype == jnp.float64 else 1e-5
+    if tol_accept is None:
+        # float32 has an accuracy floor (~1e-2 relative residual at high
+        # permeability contrast); 'valid' means 'not garbage', so accept it.
+        tol_accept = 1e-6 if dtype == jnp.float64 else 2e-2
+    if maxiter is None:
+        maxiter = g.Nxy
+
+    s0 = jnp.asarray(wsat0, dtype=dtype).reshape(g.shape)
+    # shard_map vma hygiene: the scan carry picks up "varying" from the
+    # (member-sharded) K; a replicated initial state must match. Adding a
+    # K-derived zero is a no-op numerically and unifies the types.
+    s0 = s0 + jnp.sum(model.K * 0).astype(dtype)
+    inj_seq = _rates_seq(model.inj_rates, nTime).astype(dtype)  # (nTime, nInj)
+    prd_seq = _rates_seq(model.prd_rates, nTime).astype(dtype)
+
+    # Validity: balanced at every step + wells in domain (jit-safe flags).
+    tot_i, tot_p = inj_seq.sum(1), prd_seq.sum(1)
+    scale = jnp.maximum(jnp.abs(tot_i) + jnp.abs(tot_p), 1e-30)
+    balanced = jnp.all(jnp.abs(tot_i - tot_p) <= 1e-6 * scale)
+    wells_ok = jnp.all(g.in_domain(model.inj_xy[:, 0], model.inj_xy[:, 1])) & jnp.all(
+        g.in_domain(model.prd_xy[:, 0], model.prd_xy[:, 1])
+    )
+
+    def step(carry, rates_t):
+        s, p_prev = carry
+        inj_t, prd_t = rates_t
+        q = _source_field(model, inj_t, prd_t).astype(dtype)
+        p, Fx, Fy, iters, conv = pressure_step(
+            model, s, q, p_prev, tol, maxiter, tol_accept, precond
+        )
+        s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps)
+        return (s_new, p), (s_new.reshape(-1), iters, conv, n_sub)
+
+    p0 = jnp.zeros(g.shape, dtype=dtype) + s0 * 0  # same vma as s0
+    (_, _), (sats, iters, convs, subs) = lax.scan(step, (s0, p0), (inj_seq, prd_seq))
+
+    wsats = jnp.concatenate([s0.reshape(1, -1), sats], axis=0)
+    valid = balanced & wells_ok & jnp.all(convs)
+    return SimResult(
+        wsats=wsats,
+        actual_inj_rates=inj_seq.T,
+        actual_prd_rates=prd_seq.T,
+        valid=valid,
+        cg_iters=iters,
+        substeps=subs,
+    )

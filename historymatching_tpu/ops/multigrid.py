@@ -1,0 +1,129 @@
+"""Geometric multigrid V-cycle preconditioner for the TPFA pressure system.
+
+Why: Jacobi-CG iteration counts grow with grid size and permeability
+contrast (log-normal K with sigma=5 reaches 1e4-1e7 contrast), and in
+float32 the attainable residual floor degrades with the effective condition
+number — measured floors of 1e-2..1 on hard members, which poisoned the
+transport step. A V-cycle preconditioner makes CG convergence (nearly)
+grid-independent and pulls the f32 floor down by orders of magnitude.
+
+Design (cell-centered, SPD by construction so CG theory applies):
+- **Galerkin coarsening with constant 2x2 aggregates**: with restriction =
+  block sum and prolongation = its adjoint (constant injection), the Galerkin
+  operator R A P of a 5-point TPFA matrix is again a 5-point TPFA matrix
+  whose face transmissibilities are the *sums of the fine transmissibilities
+  across each aggregate interface*. Galerkin makes the coarse-grid correction
+  an A-orthogonal projection, so the V-cycle cannot amplify error — plain
+  coefficient averaging was measured to *diverge* at contrast ~1e7;
+- damped-Jacobi smoothing (omega = 0.7), same pre- and post-sweeps, so the
+  V-cycle is a fixed SPD operator (valid PCG preconditioner);
+- the (0,0) diagonal pin is inherited exactly: R (pin e00 e00') P keeps the
+  pin on the coarse (0,0) aggregate;
+- coarsest level solved exactly: the operator (<= ~64 unknowns) is
+  materialized by applying the stencil to the identity, symmetrically
+  diagonal-scaled (float32-safe), Cholesky-factored once.
+
+Levels coarsen while both dims are even and > 4.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from historymatching_tpu.ops.stencil import stencil_diag, stencil_matvec
+
+
+def n_levels(Nx, Ny, min_dim=4):
+    """Number of multigrid levels available for a grid (static)."""
+    n = 1
+    while Nx % 2 == 0 and Ny % 2 == 0 and Nx > min_dim and Ny > min_dim:
+        Nx //= 2
+        Ny //= 2
+        n += 1
+    return n
+
+
+def _coarsen_faces(TX, TY):
+    """Galerkin (constant-aggregate) coarse face transmissibilities.
+
+    TX (Nx-1, Ny): the coarse x-face between aggregates (I,J) and (I+1,J)
+    collects the fine faces at i = 2I+1, j in {2J, 2J+1}; analogously TY.
+    """
+    Nxm1, Ny = TX.shape
+    Nxc, Nyc = (Nxm1 + 1) // 2, Ny // 2
+    TXc = TX[1::2, :].reshape(Nxc - 1, Nyc, 2).sum(-1)
+    Nx, Nym1 = TY.shape
+    TYc = TY[:, 1::2].reshape(Nx // 2, 2, Nyc - 1).sum(1)
+    return TXc, TYc
+
+
+def build_hierarchy(TX, TY, pin, levels=None):
+    """Per-level (TX, TY, diag) Galerkin operator data, fine to coarse.
+
+    `pin` is the fine-level nullspace anchor added at cell (0,0); Galerkin
+    coarsening transports it unchanged to every coarse (0,0)."""
+    if levels is None:
+        levels = n_levels(TX.shape[0] + 1, TY.shape[1] + 1)
+    out = []
+    for lvl in range(levels):
+        diag = stencil_diag(TX, TY, pin=pin)
+        out.append((TX, TY, diag))
+        if lvl + 1 < levels:
+            TX, TY = _coarsen_faces(TX, TY)
+    return out
+
+
+def _restrict(r):
+    Nx, Ny = r.shape
+    return r.reshape(Nx // 2, 2, Ny // 2, 2).sum(axis=(1, 3))
+
+
+def _prolong(e, shape):
+    Nx, Ny = shape
+    return jnp.repeat(jnp.repeat(e, 2, axis=0), 2, axis=1)[:Nx, :Ny]
+
+
+def _jacobi(TX, TY, diag, x, b, sweeps, omega=0.7):
+    for _ in range(sweeps):
+        x = x + omega * (b - stencil_matvec(TX, TY, diag, x)) / diag
+    return x
+
+
+def _dense_coarse_matrix(TX, TY, diag):
+    """Materialize the coarsest operator by applying it to the identity."""
+    n = diag.size
+    eye = jnp.eye(n, dtype=diag.dtype).reshape(n, *diag.shape)
+    cols = jax.vmap(lambda e: stencil_matvec(TX, TY, diag, e).reshape(-1))(eye)
+    return cols.T  # symmetric anyway
+
+
+def vcycle_solver(hierarchy, nu=2, omega=0.7):
+    """Return M_inv: b -> approx A^{-1} b (one V-cycle, zero initial guess).
+
+    The returned closure is a fixed SPD preconditioner suitable for PCG.
+    """
+    Acoarse = _dense_coarse_matrix(*hierarchy[-1])
+    # Symmetric diagonal scaling before the Cholesky factorization: the raw
+    # coarse matrix inherits the fine contrast (cond up to ~1e7) and float32
+    # Cholesky can fail (NaN) — the scaled matrix has unit diagonal. A small
+    # jitter guards the last f32 digits.
+    dscale = jax.lax.rsqrt(jnp.diagonal(Acoarse))
+    A_s = Acoarse * dscale[:, None] * dscale[None, :]
+    eps = 1e-6 if A_s.dtype == jnp.float32 else 1e-12
+    A_s = A_s + eps * jnp.eye(A_s.shape[0], dtype=A_s.dtype)
+    chol = jax.scipy.linalg.cho_factor(A_s)
+
+    def cycle(b, lvl):
+        TX, TY, diag = hierarchy[lvl]
+        if lvl == len(hierarchy) - 1:
+            xs = jax.scipy.linalg.cho_solve(chol, b.reshape(-1) * dscale)
+            return (xs * dscale).reshape(b.shape)
+        x = _jacobi(TX, TY, diag, jnp.zeros_like(b), b, nu, omega)
+        r = b - stencil_matvec(TX, TY, diag, x)
+        ec = cycle(_restrict(r), lvl + 1)
+        x = x + _prolong(ec, b.shape)
+        x = _jacobi(TX, TY, diag, x, b, nu, omega)
+        return x
+
+    return lambda b: cycle(b, 0)

@@ -1,0 +1,82 @@
+"""TPFA 5-point stencil: transmissibilities, diagonal, matrix-free matvec.
+
+This replaces the reference simulator's scipy.sparse assembly + spsolve
+(SURVEY.md S1.8 [inferred]) with a matrix-free operator: the TPFA system is
+fully described by inner-face transmissibilities (TX, TY) and its diagonal,
+and `A @ p` is a handful of shifted elementwise multiply-adds that XLA fuses
+into a single VPU pass. No sparse formats, no gather/scatter — ideal for
+batching over ensemble members with `vmap`.
+
+Singularity handling: the incompressible TPFA system with balanced sources is
+singular (nullspace = constants). We add `pin` to the diagonal entry of cell
+(0,0). For a balanced RHS q (1'q = 0) the solution of the pinned SPD system
+*exactly* solves A p = q with p[0,0] = 0: taking 1'(A p + pin*p00*e00) = 1'q
+gives pin*p00 = 0. (Same device as the Matlab origin's A(1,1) bump.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def transmissibilities(Kx, Ky, hx, hy):
+    """Harmonic-average inner-face transmissibilities.
+
+    Kx, Ky: (Nx, Ny) direction permeabilities (already scaled by total
+    mobility for the two-phase pressure equation). Returns
+    TX: (Nx-1, Ny) coupling cell (i,:) <-> (i+1,:),
+    TY: (Nx, Ny-1) coupling cell (:,j) <-> (:,j+1).
+    Face geometric factors use hz = 1: tx = 2*hy/hx, ty = 2*hx/hy.
+    """
+    tx = 2.0 * hy / hx
+    ty = 2.0 * hx / hy
+    TX = tx / (1.0 / Kx[:-1, :] + 1.0 / Kx[1:, :])
+    TY = ty / (1.0 / Ky[:, :-1] + 1.0 / Ky[:, 1:])
+    return TX, TY
+
+
+def stencil_diag_nopin(TX, TY):
+    """Unpinned diagonal: sum of adjacent face transmissibilities."""
+    Nx = TX.shape[0] + 1
+    Ny = TY.shape[1] + 1
+    diag = jnp.zeros((Nx, Ny), dtype=TX.dtype)
+    diag = diag.at[:-1, :].add(TX)
+    diag = diag.at[1:, :].add(TX)
+    diag = diag.at[:, :-1].add(TY)
+    diag = diag.at[:, 1:].add(TY)
+    return diag
+
+
+def stencil_diag(TX, TY, pin=None):
+    """Diagonal of the TPFA matrix: sum of adjacent face transmissibilities,
+    plus the `pin` anchor on cell (0,0). If pin is None, uses the mean of the
+    unpinned diagonal (scale-invariant, keeps conditioning sane)."""
+    diag = stencil_diag_nopin(TX, TY)
+    if pin is None:
+        pin = jnp.mean(diag)
+    return diag.at[0, 0].add(pin)
+
+
+def stencil_matvec(TX, TY, diag, p):
+    """A @ p for the 5-point TPFA operator. p: (Nx, Ny)."""
+    out = diag * p
+    out = out.at[:-1, :].add(-TX * p[1:, :])
+    out = out.at[1:, :].add(-TX * p[:-1, :])
+    out = out.at[:, :-1].add(-TY * p[:, 1:])
+    out = out.at[:, 1:].add(-TY * p[:, :-1])
+    return out
+
+
+def face_fluxes(TX, TY, p):
+    """Darcy face fluxes from a pressure field, padded with the zero-flux
+    boundary. Positive flux = flow in the +x / +y direction.
+
+    Returns Fx: (Nx+1, Ny) with Fx[i] the flux across the face between cells
+    (i-1,:) and (i,:); Fy: (Nx, Ny+1) analogously.
+    """
+    Nx, Ny = p.shape
+    fx = TX * (p[:-1, :] - p[1:, :])  # flow from i to i+1 when p decreases
+    fy = TY * (p[:, :-1] - p[:, 1:])
+    Fx = jnp.zeros((Nx + 1, Ny), dtype=p.dtype).at[1:-1, :].set(fx)
+    Fy = jnp.zeros((Nx, Ny + 1), dtype=p.dtype).at[:, 1:-1].set(fy)
+    return Fx, Fy

@@ -1,0 +1,118 @@
+"""Ensemble forward-model runners: vmap in-chip, shard_map across chips.
+
+Replaces the reference's process-pool fan-out (`tools/utils.apply`,
+SURVEY.md C8, §3.2): no pickling, no deepcopy-per-member — the member axis is
+a leading array dimension, the composite model (set_perm -> simulate ->
+observe) is one compiled function, and cross-chip scaling is a `shard_map`
+over the "ens" mesh axis (zero communication: members are independent).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from historymatching_tpu.models.ressim import ResSim, simulate
+from historymatching_tpu.parallel.mesh import ENS_AXIS
+from jax.sharding import PartitionSpec as P
+
+try:  # JAX >= 0.6 stable API
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_exp
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_exp(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def perm_transf(x):
+    """Pre-permeability transform: 0.1 + exp(5 x)
+    (reference HistoryMatch.py:137-138)."""
+    return 0.1 + jnp.exp(5.0 * x)
+
+
+def set_perm(model: ResSim, log_perm_array, transf=perm_transf):
+    """Apply a (pre-)permeability field to the model (both K components),
+    functionally (reference HistoryMatch.py:160-164)."""
+    p = transf(log_perm_array).reshape(model.shape)
+    return model.replace(K=jnp.stack([p, p]))
+
+
+def prod_inds(model: ResSim):
+    """Producer cell indices — the observation operator's gather targets
+    (reference HistoryMatch.py:209-213)."""
+    return model.xy2ind(model.prd_xy[:, 0], model.prd_xy[:, 1])
+
+
+def _comp1(model, pre_perm, wsat0, dt, nTime, transf, sim_kwargs):
+    """Composite forward model for one member (reference comp1,
+    HistoryMatch.py:358-364): set params -> simulate -> observe."""
+    m = set_perm(model, pre_perm, transf)
+    res = simulate(m, wsat0, dt, nTime, **sim_kwargs)
+    prods = res.wsats[1:, :][:, prod_inds(m)]  # (nTime, nPrd)
+    return res.wsats, prods
+
+
+@partial(jax.jit, static_argnames=("dt", "nTime", "transf", "sim_kwargs_t", "wsat0_batched"))
+def _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, sim_kwargs_t, wsat0_batched):
+    sim_kwargs = dict(sim_kwargs_t)
+    f = lambda p, w: _comp1(model, p, w, dt, nTime, transf, sim_kwargs)  # noqa: E731
+    return jax.vmap(f, in_axes=(0, 0 if wsat0_batched else None))(perm_ens, wsat0)
+
+
+def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=perm_transf,
+                  mesh=None, **sim_kwargs):
+    """Run the ensemble forward model.
+
+    Parameters mirror the reference's `forward_model(perm_ens, wsat0)`
+    (HistoryMatch.py:383-387): `perm_ens` (N, Nxy) pre-permeability fields;
+    `wsat0` either one shared state (Nxy,) or per-member states (N, Nxy) for
+    restarts. Returns (wsats (N, nTime+1, Nxy), prods (N, nTime, nPrd)).
+
+    With `mesh`, members are sharded over the "ens" axis via shard_map
+    (N must be divisible by the mesh size); otherwise a single-device vmap.
+    """
+    perm_ens = jnp.atleast_2d(perm_ens)
+    if wsat0 is None:
+        wsat0 = jnp.zeros(model.Nxy, dtype=perm_ens.dtype)
+    wsat0 = jnp.asarray(wsat0)
+    batched_w = wsat0.ndim == 2
+    kw_t = tuple(sorted(sim_kwargs.items()))
+
+    if mesh is None:
+        return _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, kw_t, batched_w)
+
+    n_dev = mesh.devices.size
+    if perm_ens.shape[0] % n_dev:
+        raise ValueError(f"N={perm_ens.shape[0]} not divisible by mesh size {n_dev}")
+
+    def local(perm_shard, w_shard):
+        return _forward_vmap(model, perm_shard, w_shard, dt, nTime, transf, kw_t, batched_w)
+
+    in_specs = (P(ENS_AXIS), P(ENS_AXIS) if batched_w else P())
+    out_specs = (P(ENS_AXIS), P(ENS_AXIS))
+    fm = shard_map(local, mesh, in_specs, out_specs)
+    return jax.jit(fm)(perm_ens, wsat0)
+
+
+def ensemble_simulate(model, perm_ens, wsat0=None, dt=0.025, nTime=40, **kw):
+    """Alias with the package's preferred name."""
+    return forward_model(model, perm_ens, wsat0, dt, nTime, **kw)
+
+
+def obs_ens_fn(model, dt, nTime, wsat0=None, mesh=None, nTime_axis_flat=True):
+    """Build the `obs_ens` callable used by IES/ILES/ES-MDA: ensemble ->
+    flattened production series (N, nTime*nPrd) (reference HistoryMatch.py:958-959)."""
+
+    def fn(E):
+        _, prods = forward_model(model, E, wsat0, dt, nTime, mesh=mesh)
+        if nTime_axis_flat:
+            return prods.reshape(prods.shape[0], -1)
+        return prods
+
+    return fn

@@ -1,0 +1,245 @@
+"""Host-side plotting (thin matplotlib layer).
+
+Covers the reference's plotting surface (SURVEY.md C9 + S3): style registry,
+single-field plots with wells, ensemble field grids, production time series,
+singular spectrum, iteration-RMS curves, and the optimisation-trajectory
+panels. Everything takes NumPy-convertible arrays (device arrays are pulled
+to host); nothing here runs on TPU.
+
+The reference's ipywidgets dashboards (field_console/interact, C1n) are
+notebook-only conveniences; here `interact` degrades gracefully to a no-op
+decorator when ipywidgets is unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg", force=False)  # headless-safe default; notebooks override
+from matplotlib import pyplot as plt  # noqa: E402
+
+
+# -- style registry (reference tools/plotting.py:20-54) -------------------------
+
+styles = {
+    "default": dict(title="", cmap="viridis", levels=17),
+    "oil": dict(title="Oil saturation", cmap="viridis", levels=np.linspace(0, 1, 17),
+                vmin=0, vmax=1),
+    "water": dict(title="Water saturation", cmap="Blues", levels=np.linspace(0, 1, 17),
+                  vmin=0, vmax=1),
+    "perm": dict(title="Permeability", cmap="viridis", levels=17, locator="log"),
+    "pperm": dict(title="Pre-perm", cmap="jet", levels=np.linspace(-4, 4, 21),
+                  vmin=-4, vmax=4),
+    "corr": dict(title="Correlation", cmap="bwr", levels=np.linspace(-1, 1, 21),
+                 vmin=-1, vmax=1, under="green", over="orange", bad="black"),
+    "NPV": dict(title="NPV", cmap="inferno", levels=17),
+    "domain": dict(title="", cmap="Greys", levels=2, colorbar=False),
+}
+
+
+def freshfig(num=None, figsize=None, **kwargs):
+    """Create/clear a named figure (reference tools/plotting.py:61-64)."""
+    fig = plt.figure(num=num, figsize=figsize)
+    fig.clear()
+    ax_kw = {k: kwargs.pop(k) for k in list(kwargs) if k in ("ncols", "nrows", "sharex", "sharey")}
+    if ax_kw:
+        axs = fig.subplots(**ax_kw)
+        return fig, axs
+    return fig, fig.add_subplot(111)
+
+
+def _style(style):
+    if isinstance(style, str):
+        return dict(styles.get(style, styles["default"]))
+    return dict(style or styles["default"])
+
+
+def plt_field(ax, model, Z, style="default", wells=True, argmax=False, colorbar=True,
+              title=None, grid=False):
+    """Plot one field on the model grid with optional well markers
+    (reference S3 `plt_field`)."""
+    st = _style(style)
+    Z = np.asarray(Z).reshape(model.shape)
+    extent = (0, model.Lx, 0, model.Ly)
+    norm = None
+    if st.get("locator") == "log":
+        from matplotlib.colors import LogNorm
+
+        norm = LogNorm(vmin=max(np.min(Z), 1e-12), vmax=np.max(Z))
+        st.pop("vmin", None), st.pop("vmax", None)
+    im = ax.imshow(
+        Z.T,
+        origin="lower",
+        extent=extent,
+        cmap=st.get("cmap", "viridis"),
+        vmin=st.get("vmin"),
+        vmax=st.get("vmax"),
+        norm=norm,
+        interpolation="nearest",
+        aspect="auto",
+    )
+    if wells:
+        inj = np.atleast_2d(np.asarray(model.inj_xy))
+        prd = np.atleast_2d(np.asarray(model.prd_xy))
+        ax.plot(inj[:, 0], inj[:, 1], "v", color="w", mec="k", ms=9)
+        ax.plot(prd[:, 0], prd[:, 1], "^", color="w", mec="k", ms=9)
+    if argmax:
+        i = int(np.argmax(Z.reshape(-1)))
+        xy = np.asarray(model.ind2xy(i))
+        ax.plot(*xy, "*", color="gold", mec="k", ms=14)
+    if grid:
+        ax.set_xticks(np.linspace(0, model.Lx, model.Nx + 1), minor=True)
+        ax.set_yticks(np.linspace(0, model.Ly, model.Ny + 1), minor=True)
+        ax.grid(True, which="minor", lw=0.3, color="w", alpha=0.4)
+    ax.set(title=title if title is not None else st.get("title", ""))
+    if colorbar and st.get("colorbar", True):
+        ax.figure.colorbar(im, ax=ax)
+    return im
+
+
+def fields(model, ensemble, style="pperm", title="", max_panels=12):
+    """Grid of ensemble member fields with a shared style
+    (reference tools/plotting.py:67-150)."""
+    if isinstance(ensemble, dict):
+        labels = list(ensemble)
+        data = [np.asarray(v) for v in ensemble.values()]
+    else:
+        data = list(np.atleast_2d(np.asarray(ensemble))[:max_panels])
+        labels = [str(i) for i in range(len(data))]
+    n = len(data)
+    ncols = min(4, n)
+    nrows = -(-n // ncols)
+    fig, axs = plt.subplots(nrows, ncols, num=f"Fields: {title}", squeeze=False,
+                            figsize=(3 * ncols, 2.2 * nrows))
+    for ax in axs.ravel()[n:]:
+        ax.axis("off")
+    for lbl, Z, ax in zip(labels, data, axs.ravel()):
+        plt_field(ax, model, Z, style, wells=False, colorbar=False, title=lbl)
+    fig.suptitle(title)
+    fig.tight_layout()
+    return fig, axs
+
+
+def productions(prod_dict, title="", obs_key="Noisy", nrows=None):
+    """Per-well production time-series: ensembles as transparent bundles,
+    reference series highlighted; plots 1 - saturation (oil), like the
+    reference (tools/plotting.py:505-544)."""
+    some = next(v for k, v in prod_dict.items() if np.asarray(v).ndim >= 2)
+    nPrd = np.asarray(some).shape[-1]
+    ncols = min(4, nPrd)
+    nrows = nrows or -(-nPrd // ncols)
+    fig, axs = plt.subplots(nrows, ncols, num=f"Production: {title}", squeeze=False,
+                            sharex=True, sharey=True, figsize=(3 * ncols, 2.5 * nrows))
+    colors = {k: f"C{i}" for i, k in enumerate(prod_dict)}
+    for w, ax in enumerate(axs.ravel()[:nPrd]):
+        for k, v in prod_dict.items():
+            v = np.asarray(v)
+            if v.ndim == 2:  # single series (nTime, nPrd)
+                ax.plot(1 - v[:, w], color=colors[k], lw=2, label=k)
+            else:  # ensemble (N, nTime, nPrd)
+                ax.plot(1 - v[:, :, w].T, color=colors[k], lw=0.5, alpha=0.3)
+                ax.plot([], [], color=colors[k], label=k)
+        ax.set_title(f"Well {w}")
+        ax.set_ylim(-0.05, 1.05)
+    axs.ravel()[0].legend(fontsize="x-small")
+    fig.suptitle(title)
+    fig.tight_layout()
+    return fig, axs
+
+
+def spectrum(svals, title=""):
+    """Singular value spectrum (reference tools/plotting.py:547-558)."""
+    fig, ax = freshfig(f"Spectrum: {title}", figsize=(5, 3))
+    ax.semilogy(np.asarray(svals), ".-")
+    ax.set(xlabel="index", ylabel="singular value", title=title)
+    fig.tight_layout()
+    return fig, ax
+
+
+def iterative(title, series_dict):
+    """RMS-vs-iteration curves, twin-axis for the obs mismatch
+    (reference tools/plotting.py:574-590)."""
+    fig, ax = freshfig(title, figsize=(6, 3.5))
+    ax2 = ax.twinx()
+    for i, (k, v) in enumerate(series_dict.items()):
+        target = ax2 if k == "obsrv" else ax
+        target.plot(np.asarray(v), f"C{i}.-", label=k)
+    ax.set(xlabel="iteration", ylabel="RMS (state)")
+    ax2.set_ylabel("RMS (obs)")
+    lines = ax.get_lines() + ax2.get_lines()
+    ax.legend(lines, [ln.get_label() for ln in lines])
+    fig.tight_layout()
+    return fig, (ax, ax2)
+
+
+def figure12(title="", figsize=(9, 4)):
+    """Two-panel optimisation figure: 2D path + objective curve
+    (reference tools/plotting.py:593-617)."""
+    fig, axs = plt.subplots(1, 2, num=title, figsize=figsize)
+    axs[0].set(xlabel="x", ylabel="y")
+    axs[1].set(xlabel="iteration", ylabel="objective")
+    return fig, axs
+
+
+def add_path12(ax0, ax1, path, objs=None, color="C0", labels=True):
+    """Overlay one optimisation trajectory (reference tools/plotting.py:620-644)."""
+    path = np.atleast_2d(np.asarray(path))
+    if path.shape[1] >= 2:
+        ax0.plot(path[:, 0], path[:, 1], "-o", color=color, ms=3)
+        ax0.plot(*path[-1, :2], "s", color=color, ms=7)
+    else:
+        ax0.plot(path[:, 0], "-o", color=color, ms=3)
+    if objs is not None:
+        ax1.plot(np.asarray(objs), "-o", color=color, ms=3)
+    if labels:
+        ax0.annotate("end", path[-1, :2], color=color, fontsize="x-small")
+
+
+def ens_style(label, N=100):
+    """Per-method line style with N-scaled alpha
+    (reference tools/plotting.py:422-464)."""
+    base = {
+        "Truth": dict(color="k", lw=2.0, alpha=1.0),
+        "Noisy": dict(color="C1", lw=0.0, alpha=1.0, marker="*"),
+        "Prior": dict(color="C0", lw=0.5),
+        "ES": dict(color="C2", lw=0.5),
+        "LES": dict(color="C3", lw=0.5),
+        "IES": dict(color="C4", lw=0.5),
+        "ILES": dict(color="C5", lw=0.5),
+        "ES0": dict(color="C6", lw=0.5),
+        "MDA": dict(color="C8", lw=0.5),
+    }
+    st = dict(base.get(label, dict(color="C7", lw=0.5)))
+    if "alpha" not in st:
+        st["alpha"] = float(np.clip(1 - 0.5 * np.log10(max(N, 1) / 100 + 1e-9), 0.1, 1.0))
+    return st
+
+
+def interact(**controls):
+    """Interactive-dashboard decorator. Uses ipywidgets when present
+    (notebooks); otherwise returns the function unchanged (headless)."""
+
+    def deco(fn):
+        try:  # pragma: no cover - notebook path
+            import ipywidgets  # noqa: F401
+            from ipywidgets import interact as _interact
+
+            _interact(fn, **controls)
+        except Exception:
+            fn.controls = controls
+        return fn
+
+    return deco
+
+
+def init(backend=None):
+    """Backend selection hook (reference tools/plotting.py:153-242). Headless
+    environments keep Agg; notebooks may pass 'inline' etc."""
+    if backend:
+        matplotlib.use(backend, force=True)
+
+
+def show():
+    plt.show()

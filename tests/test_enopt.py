@@ -1,0 +1,133 @@
+"""EnOpt tests: toy objectives (reference Optimise.py:346-421) and transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from historymatching_tpu.opt.enopt import Backtracker, EnGrad, GD
+from historymatching_tpu.opt.transforms import (
+    balance_rates,
+    coordinate_transform,
+    equalize,
+    rate_transform,
+    sigmoid,
+)
+
+
+def quadratic(u):
+    return jnp.mean(u * u, axis=-1)
+
+
+def rosenbrock(u):
+    u = u * 3.0
+    t1 = u[..., 1:] - u[..., :-1] ** 2
+    t2 = u[..., :-1] - 1
+    return jnp.sum(100 * t1 * t1 + t2 * t2, axis=-1)
+
+
+def test_gd_quadratic_converges(key):
+    path, objs, info = GD(
+        quadratic,
+        jnp.array([0.8, -0.6]),
+        nabla=EnGrad(chol=0.1, nEns=20),
+        line_search=Backtracker(sign=-1),
+        nIter=50,
+        key=key,
+    )
+    assert objs[-1] < 0.01
+    assert objs[-1] < objs[0]
+    assert np.all(np.diff(objs) <= 0)  # line search guarantees monotonicity
+
+
+def test_gd_quadratic_precond(key):
+    path, objs, info = GD(
+        quadratic,
+        jnp.array([0.5, 0.5]),
+        nabla=EnGrad(chol=0.1, nEns=20, precond=True),
+        line_search=Backtracker(sign=-1),
+        nIter=50,
+        key=key,
+    )
+    assert objs[-1] < 0.02
+
+
+def test_gd_rosenbrock_improves(key):
+    path, objs, info = GD(
+        rosenbrock,
+        jnp.array([-0.7, 0.9]),
+        nabla=EnGrad(chol=0.05, nEns=30),
+        line_search=Backtracker(sign=-1),
+        nIter=60,
+        key=key,
+    )
+    assert objs[-1] < 0.2 * objs[0]
+
+
+def test_backtracker_accept_first_semantics():
+    # objective improves only for small steps: accept-first must pick the
+    # first acceptable (i.e. nDeclined = count of too-large leading steps)
+    def obj(u):
+        return -jnp.sum(u * u)  # maximise => want u1 closer to 0
+
+    u0 = jnp.array([1.0])
+    J0 = float(obj(u0))
+    bt = Backtracker(sign=+1)
+    # direction d: u1 = u0 + sign*step*d. Choose d=-1 so u1 = 1 - step.
+    res = bt(obj, u0, J0, jnp.array([-1.0]))
+    assert res is not None
+    u1, J1, info = res
+    assert info["nDeclined"] == 0
+    assert np.isclose(u1[0], 0.5)  # first trial step 0.5
+
+
+def test_backtracker_returns_none_at_optimum():
+    def obj(u):
+        return -jnp.sum(u * u)
+
+    bt = Backtracker(sign=+1, rtol=1e-8)
+    res = bt(obj, jnp.array([0.0]), 0.0, jnp.array([1.0]))
+    assert res is None
+
+
+def test_engrad_robust_strategies(key):
+    """All robust gradient forms point roughly along the true gradient of
+    the mean objective J(u) = -mean_x ||u - x||^2 at u away from mean(x)."""
+    kX, kg = jax.random.split(key)
+    nEns = 30
+    X = 0.1 * jax.random.normal(kX, (nEns, 2)) + jnp.array([1.0, 0.0])
+
+    def obj_ux(u, x):
+        return -jnp.sum((u - x) ** 2)
+
+    def obj(u):
+        return jnp.mean(jax.vmap(lambda x: obj_ux(u, x))(X))
+
+    u = jnp.array([0.0, 0.0])
+    true_grad = np.array([2.0, 0.0])  # d/du of -(u-1)^2 at 0 is +2
+    for strategy in [None, "Paired", "StoSAG", "Mean-model"]:
+        ng = EnGrad(chol=0.1, nEns=nEns, robustly=strategy, obj_ux=obj_ux, X=X)
+        g = np.asarray(ng(obj, u, kg))
+        cos = g @ true_grad / (np.linalg.norm(g) * np.linalg.norm(true_grad))
+        assert cos > 0.9, (strategy, g)
+
+
+def test_transforms():
+    assert np.isclose(float(sigmoid(0.0, 2.0)), 1.0)
+    xy = coordinate_transform(np.array([0.0, 0.0, 10.0, -10.0]), 2.0, 1.0)
+    xy = np.asarray(xy)
+    assert np.allclose(xy[:2], [1.0, 0.5])
+    assert xy[2] > 1.99 and xy[3] < 0.01
+
+    rates = rate_transform(np.log(np.array([0.5, 0.05, 1.0, 2.0])), 2, 2, 5)
+    rates = np.asarray(rates)
+    assert rates.shape == (2, 5)
+    assert np.allclose(rates[0], [0.5, 0.5, 0.5, 0.0, 0.0])  # snapped 0.05 -> 0
+    assert np.allclose(rates[1], [1.0, 1.0, 1.0, 2.0, 2.0])
+
+    eq = np.asarray(equalize(np.array([[1.0, 2.0], [3.0, 2.0]]), 4))
+    assert eq.shape == (4, 2)
+    assert np.allclose(eq.sum(0), [4.0, 4.0])
+
+    inj, prd = balance_rates(np.array([[2.0, 1.0]]), np.array([[1.0, 2.0]]))
+    assert np.allclose(np.asarray(inj).sum(0), np.asarray(prd).sum(0))
+    assert np.allclose(np.asarray(inj).sum(0), [1.0, 1.0])

@@ -1,0 +1,49 @@
+import numpy as np
+from scipy.spatial.distance import pdist, squareform
+
+from historymatching_tpu.da import localization as loc
+
+
+def test_pairwise_distances_reference_doctests():
+    A = [[0, 0], [0, 1], [1, 0], [1, 1]]
+    D = np.asarray(loc.pairwise_distances(A))
+    assert np.allclose(D, squareform(pdist(np.asarray(A), metric="euclidean")))
+
+    A1 = np.arange(4)[:, None]
+    D2 = np.asarray(loc.pairwise_distances(A1, [[2]])).T
+    assert np.allclose(D2, [[2.0, 1.0, 0.0, 1.0]])
+
+    Dp = np.asarray(loc.pairwise_distances(A1, domain=(4,)))
+    assert np.allclose(Dp, [[0, 1, 2, 1], [1, 0, 1, 2], [2, 1, 0, 1], [1, 2, 1, 0]])
+
+    # 1-D input = single point
+    assert np.asarray(loc.pairwise_distances(np.arange(4))).shape == (1, 1)
+
+
+def test_bump():
+    x = np.linspace(-2, 2, 401)
+    v = np.asarray(loc.bump(x))
+    assert np.all(v[np.abs(x) >= 1] == 0)
+    assert np.isclose(v[x == 0][0], 1.0)
+    assert np.all(v >= 0) and np.all(v <= 1)
+    # sharpness exponentiates
+    v2 = np.asarray(loc.bump(x, sharpness=2))
+    inside = np.abs(x) < 1
+    assert np.allclose(v2[inside], v[inside] ** 2)
+
+
+def test_rectangular_partitioning_covers():
+    batches = loc.rectangular_partitioning([4, 13], [2, 4])
+    allidx = np.sort(np.concatenate(batches))
+    assert np.array_equal(allidx, np.arange(4 * 13))
+
+
+def test_dist_to_obs_shape_and_tiling():
+    from historymatching_tpu.grid import Grid2D
+
+    g = Grid2D(Nx=6, Ny=5, Lx=2, Ly=1)
+    obs_inds = np.array([3, 17])
+    D = np.asarray(loc.dist_to_obs(g, obs_inds, nTime=4))
+    assert D.shape == (30, 8)
+    # obs tiled: block repeats every nObs columns
+    assert np.allclose(D[:, :2], D[:, 2:4])

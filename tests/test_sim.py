@@ -1,0 +1,202 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from historymatching_tpu.models.ressim import Fluid, ResSim, pressure_step, simulate
+from historymatching_tpu.ops.stencil import (
+    face_fluxes,
+    stencil_diag,
+    stencil_matvec,
+    transmissibilities,
+)
+
+
+def default_model(Nx=20, Ny=20, Lx=2.0, Ly=1.0):
+    """The reference tutorial case: 4 corner producers + centre injector
+    (HistoryMatch.py:177-190)."""
+    near01 = np.array([0.12, 0.87])
+    prd_xy = [[x, y] for y in Ly * near01 for x in Lx * near01]
+    return ResSim.build(
+        Nx=Nx,
+        Ny=Ny,
+        Lx=Lx,
+        Ly=Ly,
+        inj_xy=[[Lx / 2, Ly / 2]],
+        prd_xy=prd_xy,
+        inj_rates=[[1.0]],
+        prd_rates=np.ones((4, 1)) / 4,
+    )
+
+
+def test_pytree_roundtrip():
+    m = default_model()
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert m2.grid == m.grid
+    assert np.allclose(np.asarray(m2.K), np.asarray(m.K))
+
+
+def test_replace_functional():
+    m = default_model()
+    m2 = m.replace(inj_rates=[[2.0]], name="x")
+    assert float(m2.inj_rates[0, 0]) == 2.0
+    assert float(m.inj_rates[0, 0]) == 1.0
+    assert m2.name == "x"
+
+
+def test_validate_raises_on_unbalanced():
+    m = default_model().replace(inj_rates=[[2.0]])
+    with pytest.raises(ValueError, match="Unbalanced"):
+        m.validate()
+
+
+def test_validate_raises_outside_domain():
+    m = default_model().replace(inj_xy=[[5.0, 0.5]])
+    with pytest.raises(ValueError, match="outside domain"):
+        m.validate()
+
+
+def test_pressure_solve_residual():
+    m = default_model(Nx=12, Ny=12)
+    g = m.grid
+    s = jnp.zeros(g.shape)
+    q = jnp.zeros(g.shape).at[6, 6].set(1.0).at[1, 1].set(-0.5).at[10, 10].set(-0.5)
+    p, Fx, Fy, iters, conv = pressure_step(
+        m, s, q, jnp.zeros(g.shape), tol=1e-12, maxiter=2000, tol_accept=1e-9
+    )
+    assert bool(conv)
+    # residual of the *pinned* system — recompute
+    from historymatching_tpu.models.ressim import relperm
+
+    Mw, Mo = relperm(s, m.fluid)
+    TX, TY = transmissibilities(m.K[0] * (Mw + Mo), m.K[1] * (Mw + Mo), g.hx, g.hy)
+    diag = stencil_diag(TX, TY)
+    r = np.asarray(q - stencil_matvec(TX, TY, diag, p))
+    assert np.max(np.abs(r)) < 1e-10
+    # pinned solution anchors p[0,0] ~ 0 and the flux field is divergence-free
+    assert abs(float(p[0, 0])) < 1e-10
+    div = np.asarray(Fx[1:, :] - Fx[:-1, :] + Fy[:, 1:] - Fy[:, :-1])
+    assert np.max(np.abs(div - np.asarray(q))) < 1e-9
+
+
+def test_sim_shapes_and_bounds(key):
+    m = default_model()
+    wsat0 = jnp.zeros(m.Nxy)
+    res = simulate(m, wsat0, dt=0.025, nTime=10)
+    assert res.wsats.shape == (11, m.Nxy)
+    assert bool(res.valid)
+    s = np.asarray(res.wsats)
+    assert s.min() >= -1e-9
+    assert s.max() <= 1 + 1e-9
+    assert res.actual_inj_rates.shape == (1, 10)
+    assert res.actual_prd_rates.shape == (4, 10)
+
+
+def test_mass_balance_before_breakthrough():
+    """Until water reaches the producers, producers produce pure oil, so the
+    domain's water volume grows by exactly dt * total injection per step."""
+    m = default_model()
+    res = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=5)
+    pv = m.grid.h2
+    w = np.asarray(res.wsats).sum(1) * pv
+    inj_total = float(np.asarray(m.inj_rates).sum())
+    for t in range(5):
+        assert np.isclose(w[t + 1] - w[t], 0.025 * inj_total, rtol=1e-6)
+
+
+def test_mass_balance_bounds_late_time():
+    """After breakthrough, water accumulation is between (inj - prd)*dt and
+    inj*dt per step."""
+    m = default_model()
+    res = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=40)
+    pv = m.grid.h2
+    w = np.asarray(res.wsats).sum(1) * pv
+    dw = np.diff(w)
+    assert np.all(dw <= 0.025 * 1.0 + 1e-9)
+    assert np.all(dw >= 0.025 * (1.0 - 1.0) - 1e-9)  # prd total == inj total == 1
+
+
+def test_symmetry_uniform_K():
+    """Uniform permeability, centred injector, 4 symmetric producers: the
+    saturation field must be symmetric under x- and y-reflection."""
+    Nx = Ny = 15  # odd: the centre cell exists, so the injector is symmetric
+    L = 1.0
+    c = 2.5 / 15  # producer in cell 2; mirror cell is 12 (= 14 - 2)
+    prd = [[c, c], [1 - c, c], [c, 1 - c], [1 - c, 1 - c]]
+    m = ResSim.build(
+        Nx=Nx,
+        Ny=Ny,
+        Lx=L,
+        Ly=L,
+        inj_xy=[[0.5, 0.5]],
+        prd_xy=prd,
+        inj_rates=[[1.0]],
+        prd_rates=np.ones((4, 1)) / 4,
+    )
+    res = simulate(m, jnp.zeros(m.Nxy), dt=0.02, nTime=10)
+    s = np.asarray(res.wsats[-1]).reshape(Nx, Ny)
+    assert np.allclose(s, s[::-1, :], atol=1e-8)
+    assert np.allclose(s, s[:, ::-1], atol=1e-8)
+    assert np.allclose(s, s.T, atol=1e-8)
+
+
+def test_restart_equivalence():
+    """sim(2k) == sim(k) then restart from its final state (S1.7/restart,
+    reference HistoryMatch.py:366-374)."""
+    m = default_model(Nx=10, Ny=10)
+    full = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=8)
+    first = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=4)
+    second = simulate(m, first.wsats[-1], dt=0.025, nTime=4)
+    assert np.allclose(np.asarray(second.wsats[-1]), np.asarray(full.wsats[-1]), atol=1e-7)
+
+
+def test_time_varying_rates():
+    m = default_model(Nx=8, Ny=8)
+    nTime = 6
+    inj = np.linspace(0.5, 1.5, nTime)[None, :]
+    prd = np.tile(inj / 4, (4, 1))
+    m = m.replace(inj_rates=inj, prd_rates=prd)
+    res = simulate(m, jnp.zeros(m.Nxy), dt=0.01, nTime=nTime)
+    assert bool(res.valid)
+    assert np.allclose(np.asarray(res.actual_inj_rates), inj)
+
+
+def test_invalid_flags():
+    m = default_model(Nx=8, Ny=8)
+    res = simulate(m.replace(inj_rates=[[2.0]]), jnp.zeros(m.Nxy), dt=0.01, nTime=2)
+    assert not bool(res.valid)
+    res = simulate(m.replace(inj_xy=[[9.0, 0.5]]), jnp.zeros(m.Nxy), dt=0.01, nTime=2)
+    assert not bool(res.valid)
+
+
+def test_sim_under_vmap(key):
+    m = default_model(Nx=10, Ny=10)
+    K = jnp.exp(0.3 * jax.random.normal(key, (3, m.Nxy)))
+
+    def run(k):
+        kk = k.reshape(m.shape)
+        return simulate(m.replace(K=jnp.stack([kk, kk])), jnp.zeros(m.Nxy), 0.025, 4).wsats
+
+    batched = jax.vmap(run)(K)
+    single = run(K[1])
+    assert batched.shape == (3, 5, m.Nxy)
+    assert np.allclose(np.asarray(batched[1]), np.asarray(single), atol=1e-8)
+
+
+def test_viscosity_ratio_changes_front():
+    """Sanity: more viscous oil (vo > vw) gives earlier water breakthrough
+    (less stable displacement) than unit ratio."""
+    m = default_model(Nx=12, Ny=12)
+    res1 = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=20)
+    m2 = ResSim.build(
+        Nx=12, Ny=12, Lx=2.0, Ly=1.0,
+        inj_xy=np.asarray(m.inj_xy), prd_xy=np.asarray(m.prd_xy),
+        inj_rates=np.asarray(m.inj_rates), prd_rates=np.asarray(m.prd_rates),
+        fluid=Fluid(vw=1.0, vo=10.0),
+    )
+    res2 = simulate(m2, jnp.zeros(m2.Nxy), dt=0.025, nTime=20)
+    prd_ind = np.asarray(m.xy2ind(m.prd_xy[:, 0], m.prd_xy[:, 1]))
+    bt1 = np.asarray(res1.wsats)[:, prd_ind].max()
+    bt2 = np.asarray(res2.wsats)[:, prd_ind].max()
+    assert bt2 > bt1 - 1e-9
