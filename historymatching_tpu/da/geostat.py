@@ -17,6 +17,8 @@ above when `pts` is a regular mesh.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +55,7 @@ def dist_euclid(X):
     return jnp.sqrt(jnp.sum(diff**2, axis=-1))
 
 
+@partial(jax.jit, static_argnames=("N",))
 def gaussian_fields_chol(key, pts, N=1, r=0.2):
     """Exact dense sampler: fields = randn(N, n) @ chol(Cov + 1e-10 I).
 
@@ -81,28 +84,47 @@ def _embedding_spectrum(Nx, Ny, hx, hy, r):
     ix = np.minimum(np.arange(Mx), Mx - np.arange(Mx)) * hx
     iy = np.minimum(np.arange(My), My - np.arange(My)) * hy
     d = np.sqrt(ix[:, None] ** 2 + iy[None, :] ** 2)
-    C = np.asarray(cov_gauss(d, r))
+    # Pure NumPy on purpose: this runs at trace time (static grid/r), and
+    # jnp ops inside a jit trace would be staged, breaking np.fft below.
+    a = 1.0 / 3.0
+    C = np.exp(-(d**2) / r**2 / a)
     S = np.fft.fft2(C).real
     S = np.maximum(S, 0.0)
     return jnp.asarray(S), (Mx, My)
 
 
+def _dft_mats(M, dtype):
+    """Real/imag parts of the M x M DFT matrix (host-precomputed constants)."""
+    jk = np.outer(np.arange(M), np.arange(M)) * (2.0 * np.pi / M)
+    return jnp.asarray(np.cos(jk), dtype=dtype), jnp.asarray(-np.sin(jk), dtype=dtype)
+
+
+@partial(jax.jit, static_argnames=("grid", "N", "r"))
 def gaussian_fields_fft(key, grid, N=1, r=0.2):
     """Spectral (circulant embedding) sampler on a regular `Grid2D`.
 
+    field = Re(DFT2(sqrt(S/M) * zeta)) with zeta complex white noise
+    (Re, Im parts iid N(0,1)) has exactly covariance C on the embedded torus.
+
+    The 2D DFT is evaluated as matmuls with host-precomputed DFT matrices in
+    *real* arithmetic (8 GEMMs): the TPU backend here implements neither FFT
+    nor complex custom calls, and for these sizes (M <= a few hundred) the
+    MXU matmul form is as fast as an FFT anyway.
     Returns (N, Nxy) fields flattened in the grid's C-order over (Nx, Ny).
-    O(N * M log M); the FFT and spectrum scaling are pure XLA ops.
     """
     S, (Mx, My) = _embedding_spectrum(grid.Nx, grid.Ny, grid.hx, grid.hy, r)
-    # field = Re(FFT(sqrt(S/M) * zeta)) with zeta complex white noise
-    # (Re, Im parts iid N(0,1)) has exactly covariance C on the embedded torus.
-    amp = jnp.sqrt(S / (Mx * My))
-    k1, k2 = jax.random.split(key)
     dtype = jnp.result_type(float)
-    Z = jax.random.normal(k1, (N, Mx, My), dtype=dtype) + 1j * jax.random.normal(
-        k2, (N, Mx, My), dtype=dtype
-    )
-    fields = jnp.real(jnp.fft.fft2(amp[None] * Z))
+    amp = jnp.sqrt(S / (Mx * My)).astype(dtype)
+    k1, k2 = jax.random.split(key)
+    Cr = amp[None] * jax.random.normal(k1, (N, Mx, My), dtype=dtype)
+    Ci = amp[None] * jax.random.normal(k2, (N, Mx, My), dtype=dtype)
+    Ar, Ai = _dft_mats(Mx, dtype)
+    Br, Bi = _dft_mats(My, dtype)
+    # T = Fx @ C  (complex), expanded in real parts
+    Tr = jnp.einsum("ab,nbc->nac", Ar, Cr) - jnp.einsum("ab,nbc->nac", Ai, Ci)
+    Ti = jnp.einsum("ab,nbc->nac", Ar, Ci) + jnp.einsum("ab,nbc->nac", Ai, Cr)
+    # field = Re(T @ Fy^T)
+    fields = jnp.einsum("nac,dc->nad", Tr, Br) - jnp.einsum("nac,dc->nad", Ti, Bi)
     return fields[:, : grid.Nx, : grid.Ny].reshape(N, grid.Nxy)
 
 

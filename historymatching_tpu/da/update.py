@@ -29,15 +29,19 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
+import numpy as np
 
+from historymatching_tpu.ops.linalg import pinv, spd_solve
 from historymatching_tpu.utils import center, gaussian_noise
 
 
 def decorrelator(R12):
     """Whitening operator from a lower Cholesky factor of R: inv(R12.T),
-    applied from the right to row-vector samples (reference HistoryMatch.py:639)."""
-    return jnp.linalg.inv(jnp.asarray(R12).T)
+    applied from the right to row-vector samples (reference HistoryMatch.py:639).
+
+    Computed on the host (R12 is concrete setup data; triangular inversion
+    is not a device op on this TPU backend)."""
+    return jnp.asarray(np.linalg.inv(np.asarray(R12).T))
 
 
 def _kalman_term(S, D, X):
@@ -48,13 +52,16 @@ def _kalman_term(S, D, X):
     c = N - 1.0
     if p <= N:
         C = S.T @ S + c * jnp.eye(p, dtype=S.dtype)
-        return D @ jsl.solve(C, S.T @ X, assume_a="pos")
+        return D @ spd_solve(C, S.T @ X)
     G = S @ S.T + c * jnp.eye(N, dtype=S.dtype)
-    return (D @ S.T) @ jsl.solve(G, X, assume_a="pos")
+    return (D @ S.T) @ spd_solve(G, X)
 
 
+@jax.jit
 def ens_update0(prior_ens, obs_ens, obs, perturbs, decorr):
-    """Stochastic ES analysis update (rows = members).
+    """Stochastic ES analysis update (rows = members). jitted at the API
+    boundary (single fused device program; required for TPU backends without
+    eager dispatch of loop primitives).
 
     Args mirror the reference (HistoryMatch.py:578-586): `obs_ens` is the
     observed ensemble (N, p); `obs` the data vector (p,); `perturbs` (N, p)
@@ -75,8 +82,9 @@ def _taper_weights(taper):
     return jnp.where(taper > 1e-4, taper, 0.0)
 
 
+@jax.jit
 def ens_update0_loc(prior_ens, obs_ens, obs, perturbs, decorr, taper):
-    """Localized (local/domain analysis) ES update.
+    """Localized (local/domain analysis) ES update. jitted (see ens_update0).
 
     `taper` has shape (M, p): taper[i, j] weights obs j for state element i
     (reference HistoryMatch.py:774-797). The per-cell update
@@ -99,9 +107,8 @@ def ens_update0_loc(prior_ens, obs_ens, obs, perturbs, decorr, taper):
     def local(x_col, w):
         Sw = S * w  # (N, p) — S diag(w)
         G = Sw @ S.T + c * eye
-        # Symmetrize (floating point) before the Cholesky solve.
-        G = 0.5 * (G + G.T)
-        return (D * w) @ (S.T @ jsl.solve(G, x_col, assume_a="pos"))
+        G = 0.5 * (G + G.T)  # symmetrize (floating point)
+        return (D * w) @ (S.T @ spd_solve(G, x_col))
 
     dE = jax.vmap(local, in_axes=(1, 0), out_axes=1)(X, W)  # (N, M)
     return prior_ens + dE
@@ -111,21 +118,22 @@ def ens_update0_loc(prior_ens, obs_ens, obs, perturbs, decorr, taper):
 
 
 def _gn_covw(Y0, N):
-    """Gauss-Newton posterior covariance of w: V diag(1/(N-1+lambda)) V'
-    with (lambda, V) = eigh(Y0 Y0'). Equivalent to the reference's SVD with
-    excess-N zero-padding (HistoryMatch.py:934-938)."""
+    """Gauss-Newton posterior covariance of w.
+
+    The reference forms V diag(1/(N-1+s^2)) V' from an SVD of Y0 with
+    "excess-N" zero-padding (HistoryMatch.py:934-938). Over the complete
+    eigenbasis of G = Y0 Y0' that is *exactly* the resolvent
+    (G + (N-1) I)^{-1} — an SPD inverse, no factorization needed."""
     G = Y0 @ Y0.T
-    G = 0.5 * (G + G.T)
-    lam, V = jnp.linalg.eigh(G)
-    lam = jnp.maximum(lam, 0.0)
-    return (V / (N - 1.0 + lam)) @ V.T
+    G = 0.5 * (G + G.T) + (N - 1.0) * jnp.eye(N, dtype=Y0.dtype)
+    return spd_solve(G, jnp.eye(N, dtype=Y0.dtype))
 
 
 def _ies_inner(W, Eo_w, y_w, D_w, xStep):
     """One jitted IES Gauss-Newton step in the N x N weight matrix W."""
     N = W.shape[0]
     W0 = jnp.eye(N, dtype=W.dtype)
-    Y0 = center(jnp.linalg.pinv(W))[0] @ Eo_w
+    Y0 = center(pinv(W))[0] @ Eo_w
     grad_y = (y_w - D_w - Eo_w) @ Y0.T
     grad_b = (N - 1.0) * (W0 - W)
     covw = _gn_covw(Y0, N)
@@ -170,14 +178,13 @@ def _iles_inner(Ws, Eo_w, obs_w_innov, xStep, weights):
         # With c = sqrt(taper) the reference uses Si = S*c, Di = D*c,
         # Y0i = T @ Si (T = centered pinv(Wi)). Folding both c factors into
         # w = c^2 on one side: grad_y = Di Y0i' = (D*w) B',
-        # Y0i Y0i' = (B*w) B', where B = T @ S.
-        B = center(jnp.linalg.pinv(Wi))[0] @ S
+        # Y0i Y0i' = (B*w) B', where B = T @ S. The SVD-with-padding covw is
+        # the resolvent ((B*w)B' + (N-1)I)^{-1} (see _gn_covw).
+        B = center(pinv(Wi))[0] @ S
         grad_y = (obs_w_innov * w) @ B.T
         G = (B * w) @ B.T
-        G = 0.5 * (G + G.T)
-        lam, V = jnp.linalg.eigh(G)
-        lam = jnp.maximum(lam, 0.0)
-        covw = (V / (N - 1.0 + lam)) @ V.T
+        G = 0.5 * (G + G.T) + (N - 1.0) * jnp.eye(N, dtype=S.dtype)
+        covw = spd_solve(G, jnp.eye(N, dtype=S.dtype))
         grad_b = (N - 1.0) * (W0 - Wi)
         return Wi + xStep * ((grad_y + grad_b) @ covw)
 

@@ -24,6 +24,7 @@ Optimise.py:120-125).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -211,7 +212,11 @@ class SimResult(NamedTuple):
     wsats: jax.Array  # (nTime+1, Nxy) saturation history incl. initial state
     actual_inj_rates: jax.Array  # (nInj, nTime) rates actually applied
     actual_prd_rates: jax.Array  # (nPrd, nTime)
-    valid: jax.Array  # bool: rates balanced, wells in domain, CG converged
+    valid: jax.Array  # bool: configuration valid (rates balanced, wells in domain)
+    # — the exception-as-penalty analogue (reference raises on these).
+    cg_ok: jax.Array  # bool: every pressure solve met its acceptance residual
+    # — solver *quality* diagnostic; does NOT gate the NPV penalty (the
+    # reference's direct solver never "fails", only configs do).
     cg_iters: jax.Array  # (nTime,) pressure-solve iteration counts
     substeps: jax.Array  # (nTime,) transport CFL substep counts
 
@@ -334,12 +339,18 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096):
     return s, n_sub
 
 
+@partial(
+    jax.jit,
+    static_argnames=("dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond"),
+)
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
              max_substeps=4096, precond="mg"):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
     last row of a previous run's `wsats` as `wsat0`. Fully jit/vmap-able.
+    jitted at the API boundary (the TPU backend here cannot eager-dispatch
+    loop primitives, and per-op dispatch would be slow anyway).
     """
     g = model.grid
     dtype = jnp.result_type(jnp.asarray(wsat0).dtype, float)
@@ -382,12 +393,12 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
     (_, _), (sats, iters, convs, subs) = lax.scan(step, (s0, p0), (inj_seq, prd_seq))
 
     wsats = jnp.concatenate([s0.reshape(1, -1), sats], axis=0)
-    valid = balanced & wells_ok & jnp.all(convs)
     return SimResult(
         wsats=wsats,
         actual_inj_rates=inj_seq.T,
         actual_prd_rates=prd_seq.T,
-        valid=valid,
+        valid=balanced & wells_ok,
+        cg_ok=jnp.all(convs),
         cg_iters=iters,
         substeps=subs,
     )

@@ -69,8 +69,15 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64)
     # pick up "varying" from the (member-sharded) operator coefficients.
     x0 = x0 + jnp.zeros_like(r0)
 
-    def cg_steps(x, r, p, rz):
-        """`restart_every` classic PCG steps (live-masked once converged)."""
+    def cg_steps(x, r, p, rz, beta_mask):
+        """`restart_every` PCG steps (live-masked once converged).
+
+        `beta_mask` = 1 gives classic PCG; 0 zeroes the direction memory,
+        i.e. preconditioned steepest descent — monotone in the A-norm, the
+        safe fallback after an f32 CG blowup. A scalar multiply instead of
+        `lax.cond` keeps the graph branch-free (batched cond is not
+        supported by every TPU backend, and both modes share this body).
+        """
 
         def body(_, st):
             x, r, p, rz, rr = st
@@ -82,7 +89,7 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64)
             r = r - alpha * Ap
             z = Minv_(r)
             rz_new = jnp.where(live, _vdot(r, z), rz)
-            beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+            beta = jnp.where(live, beta_mask * rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
             p = jnp.where(live, z + beta * p, p)
             return (x, r, p, rz_new, jnp.where(live, _vdot(r, r), rr))
 
@@ -99,37 +106,22 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64)
         x, p, reset, x_best, rr_best, n_bad, k = state
         return (k < maxiter) & (rr_best > tol2) & (n_bad < patience)
 
-    def richardson_window(x, r):
-        """Stationary iteration x += M^{-1} r — contractive whenever M is a
-        convergent preconditioner (the Galerkin V-cycle is), so it makes
-        guaranteed progress where f32 CG has just blown up."""
-
-        def rbody(_, st):
-            x, _ = st
-            x_ = x + Minv_(st[1])
-            return (x_, b - matvec(x_))
-
-        x, r = lax.fori_loop(0, restart_every, rbody, (x, r))
-        return x, Minv_(r)
-
     def body(state):
-        x, p, use_rich, x_best, rr_best, n_bad, k = state
+        x, p, use_sd, x_best, rr_best, n_bad, k = state
         # Residual replacement: refresh r with the *true* residual but keep
         # the search direction p — preserves the CG convergence rate while
         # resetting the f32 drift between recurred and true residuals.
         r = b - matvec(x)
         z = Minv_(r)
-        x_new, p_new = lax.cond(
-            use_rich,
-            lambda: richardson_window(x, r),
-            lambda: cg_steps(x, r, p, _vdot(r, z)),
-        )
+        beta_mask = jnp.where(use_sd, 0.0, 1.0).astype(b.dtype)
+        p_start = jnp.where(use_sd, z, p)
+        x_new, p_new = cg_steps(x, r, p_start, _vdot(r, z), beta_mask)
         rr_new = _vdot(b - matvec(x_new), b - matvec(x_new))
         # Divergence guard only — the residual 2-norm is NOT monotone in CG,
         # so moderate growth is legitimate; a >100x jump (or non-finite) means
         # f32 drift destroyed the direction. Revert to the best iterate and
-        # run a Richardson window next: retrying CG from the same state is
-        # deterministic and would blow up identically forever.
+        # run a steepest-descent window next: retrying CG from the same state
+        # is deterministic and would blow up identically forever.
         finite = jnp.isfinite(rr_new)
         blown = (~finite) | (rr_new > 100.0 * jnp.maximum(rr_best, tol2))
         better = finite & (rr_new < rr_best)
@@ -144,6 +136,7 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64)
     vfalse = rr0 != rr0  # False, with rr0's vma
     vzero = (rr0 * 0).astype(jnp.int32)
     state0 = (x0, Minv_(r0), vfalse, x0, rr0, vzero, vzero)
+    # (state: x, p, use_sd, x_best, rr_best, n_bad, k)
     _, _, _, x_best, rr_best, _, k = lax.while_loop(cond, body, state0)
     rel_res = jnp.sqrt(rr_best / jnp.maximum(bb, jnp.finfo(dtype).tiny))
     return x_best, k, rel_res

@@ -20,8 +20,9 @@ Design (cell-centered, SPD by construction so CG theory applies):
 - the (0,0) diagonal pin is inherited exactly: R (pin e00 e00') P keeps the
   pin on the coarse (0,0) aggregate;
 - coarsest level solved exactly: the operator (<= ~64 unknowns) is
-  materialized by applying the stencil to the identity, symmetrically
-  diagonal-scaled (float32-safe), Cholesky-factored once.
+  materialized by applying the stencil to the identity and inverted by the
+  (diagonally scaled) Newton-Schulz iteration — no LAPACK custom calls, so
+  it runs on any backend and batches under vmap.
 
 Levels coarsen while both dims are even and > 4.
 """
@@ -31,6 +32,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from historymatching_tpu.ops.linalg import spd_inverse
 from historymatching_tpu.ops.stencil import stencil_diag, stencil_matvec
 
 
@@ -104,21 +106,16 @@ def vcycle_solver(hierarchy, nu=2, omega=0.7):
     The returned closure is a fixed SPD preconditioner suitable for PCG.
     """
     Acoarse = _dense_coarse_matrix(*hierarchy[-1])
-    # Symmetric diagonal scaling before the Cholesky factorization: the raw
-    # coarse matrix inherits the fine contrast (cond up to ~1e7) and float32
-    # Cholesky can fail (NaN) — the scaled matrix has unit diagonal. A small
-    # jitter guards the last f32 digits.
-    dscale = jax.lax.rsqrt(jnp.diagonal(Acoarse))
-    A_s = Acoarse * dscale[:, None] * dscale[None, :]
-    eps = 1e-6 if A_s.dtype == jnp.float32 else 1e-12
-    A_s = A_s + eps * jnp.eye(A_s.shape[0], dtype=A_s.dtype)
-    chol = jax.scipy.linalg.cho_factor(A_s)
+    # Exact coarse inverse via Newton-Schulz (custom-call-free; spd_inverse
+    # diagonally scales internally, which the high-contrast coarse matrix
+    # needs). Precomputed once; applied as one small GEMV per V-cycle.
+    eps = 1e-6 if Acoarse.dtype == jnp.float32 else 1e-12
+    Ainv = spd_inverse(Acoarse, jitter=eps)
 
     def cycle(b, lvl):
         TX, TY, diag = hierarchy[lvl]
         if lvl == len(hierarchy) - 1:
-            xs = jax.scipy.linalg.cho_solve(chol, b.reshape(-1) * dscale)
-            return (xs * dscale).reshape(b.shape)
+            return (Ainv @ b.reshape(-1)).reshape(b.shape)
         x = _jacobi(TX, TY, diag, jnp.zeros_like(b), b, nu, omega)
         r = b - stencil_matvec(TX, TY, diag, x)
         ec = cycle(_restrict(r), lvl + 1)

@@ -19,19 +19,53 @@ TPU-first re-design of the reference's `tools/enopt.py` / Optimise.py:235-343:
 from __future__ import annotations
 
 import dataclasses
+import weakref
+from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from historymatching_tpu.utils import center, gaussian_noise, rinv
+from historymatching_tpu.ops.linalg import rinv_tikh
+from historymatching_tpu.utils import center, gaussian_noise
+
+# jit-compiled transforms of user objectives, cached per objective object so
+# repeated GD iterations reuse the compilation (and so nothing runs eagerly —
+# some TPU backends cannot eager-dispatch loop primitives at all).
+_XFORM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_xform(obj, tag, make):
+    try:
+        per_obj = _XFORM_CACHE.setdefault(obj, {})
+    except TypeError:  # non-weakrefable callable
+        return jax.jit(make(obj))
+    if tag not in per_obj:
+        per_obj[tag] = jax.jit(make(obj))
+    return per_obj[tag]
 
 
 def _batched(obj):
-    """Lift a single-point objective to batches via vmap (idempotent enough:
-    vmap of an already-elementwise fn still evaluates correctly per row)."""
-    return jax.vmap(obj)
+    """Lift a single-point objective to batches: jit(vmap(obj)), cached."""
+    return _cached_xform(obj, "vmap", jax.vmap)
+
+
+@partial(jax.jit, static_argnames=("nEns", "M"))
+def _sample_dU(key, nEns, M, chol):
+    return center(gaussian_noise(key, nEns, M, chol))[0]
+
+
+@jax.jit
+def _grad_precond(dU, dJ):
+    return dU.T @ dJ / (dU.shape[0] - 1)
+
+
+@jax.jit
+def _grad_lls(dU, dJ):
+    # Tikhonov-LLS form (reference tools/enopt.py:30), via the SVD-free
+    # identity rinv(A) = A'(AA' + reg^2 I)^{-1} (runs on any backend).
+    return rinv_tikh(dU, reg=0.1) @ dJ
 
 
 @dataclasses.dataclass
@@ -47,12 +81,11 @@ class EnGrad:
 
     def __call__(self, obj, u, key):
         u = jnp.asarray(u)
-        U = gaussian_noise(key, self.nEns, u.shape[0], self.chol)
-        dU = center(U)[0]
+        dU = _sample_dU(key, self.nEns, u.shape[0], jnp.asarray(self.chol))
         dJ = jnp.asarray(self.ens_eval(obj, u, u + dU))
         if self.precond:
-            return dU.T @ dJ / (self.nEns - 1)
-        return rinv(dU, reg=0.1, tikh=True) @ dJ
+            return _grad_precond(dU, dJ)
+        return _grad_lls(dU, dJ)
 
     def ens_eval(self, obj, u, U):
         """Objective increments for the perturbation ensemble `U` (nEns, d).
@@ -64,15 +97,17 @@ class EnGrad:
             return _batched(obj)(U)
         X = jnp.asarray(self.X)
         obj_ux = self.obj_ux
+        vmap_pair = lambda f: jax.vmap(f)  # noqa: E731
+        vmap_u = lambda f: jax.vmap(f, in_axes=(0, None))  # noqa: E731
+        vmap_x = lambda f: jax.vmap(f, in_axes=(None, 0))  # noqa: E731
         if self.robustly == "Paired":
-            return jax.vmap(obj_ux)(U, X)
+            return _cached_xform(obj_ux, "pair", vmap_pair)(U, X)
         if self.robustly == "StoSAG":
-            JU = jax.vmap(obj_ux)(U, X)
-            Ju = jax.vmap(obj_ux, in_axes=(None, 0))(u, X)
+            JU = _cached_xform(obj_ux, "pair", vmap_pair)(U, X)
+            Ju = _cached_xform(obj_ux, "x", vmap_x)(u, X)
             return JU - Ju
         if self.robustly in ("Mean-model", "Fragile"):
-            x1 = X.mean(0)
-            return jax.vmap(obj_ux, in_axes=(0, None))(U, x1)
+            return _cached_xform(obj_ux, "u", vmap_u)(U, X.mean(0))
         raise ValueError(f"Unknown robust strategy {self.robustly!r}")
 
 
@@ -111,7 +146,8 @@ def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=No
     key = key if key is not None else jax.random.PRNGKey(0)
 
     u = jnp.asarray(u, dtype=jnp.result_type(float))
-    states = [[np.asarray(u), float(jnp.asarray(objective(u))), {}]]
+    obj_scalar = _cached_xform(objective, "scalar", lambda f: f)
+    states = [[np.asarray(u), float(jnp.asarray(obj_scalar(u))), {}]]
     info = {}
     itr = 0
     for itr in range(nIter):

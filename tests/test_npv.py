@@ -17,7 +17,9 @@ def test_accounting_hand_computed():
     wsats = jnp.zeros((cfg.nTime + 1, m.Nxy))
     inj = jnp.ones((1, cfg.nTime))
     prd = jnp.ones((nPrd, cfg.nTime)) / nPrd
-    res = SimResult(wsats, inj, prd, jnp.array(True), jnp.zeros(3, int), jnp.zeros(3, int))
+    res = SimResult(
+        wsats, inj, prd, jnp.array(True), jnp.array(True), jnp.zeros(3, int), jnp.zeros(3, int)
+    )
     led = accounting(cfg, m, res)
     disc = np.asarray(cfg.discounts)
     assert np.isclose(float(led["oil"]), 100.0 * 0.1 * disc.sum())
