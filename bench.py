@@ -60,7 +60,7 @@ def main():
     obs = jnp.clip(prod_truth[0].reshape(-1) + noise, 0, 1)
 
     def fwd_obs(E):
-        _, prods = forward_model(model, E, dt=DT, nTime=NTIME)
+        _, prods = forward_model(model, E, dt=DT, nTime=NTIME, keep_wsats=False)
         return prods.reshape(prods.shape[0], -1)
 
     def workload(prior_, key_):

@@ -15,6 +15,11 @@ import argparse
 import os
 import time
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import numpy as np
 
 

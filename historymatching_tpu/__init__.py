@@ -33,7 +33,7 @@ from historymatching_tpu.da.geostat import gaussian_fields, sample_prior_perm
 from historymatching_tpu.da.localization import bump, pairwise_distances
 from historymatching_tpu.opt.enopt import EnGrad, Backtracker, GD
 from historymatching_tpu.opt.npv import NPVConfig, npv, accounting
-from historymatching_tpu import utils
+from historymatching_tpu import checkpoint, profiling, utils
 from historymatching_tpu.utils import center, cov, corr, gaussian_noise, rinv, vect
 from historymatching_tpu.parallel.mesh import ens_mesh, shard_ens
 from historymatching_tpu.parallel.runner import ensemble_simulate, forward_model
@@ -63,6 +63,8 @@ __all__ = [
     "NPVConfig",
     "npv",
     "accounting",
+    "checkpoint",
+    "profiling",
     "utils",
     "center",
     "cov",

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from functools import partial
 
+from historymatching_tpu.ops.linalg import _full_precision
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +55,23 @@ def dist_euclid(X):
     X = jnp.asarray(X, dtype=jnp.result_type(float))
     diff = X[:, None, :] - X[None, :, :]
     return jnp.sqrt(jnp.sum(diff**2, axis=-1))
+
+
+def funm_psd(C, fun, rk=None, rtol=1e-8, sym_square=True):
+    """Matrix function of a PSD matrix via (truncated) eigendecomposition
+    (reference tools/geostat.py:50-83). Host-oriented utility (eigh); the
+    production samplers below avoid factorizations entirely."""
+    C = jnp.asarray(C)
+    ews, V = jnp.linalg.eigh(C)
+    if rk:
+        keep = jnp.arange(ews.shape[0]) >= ews.shape[0] - rk
+        ews = jnp.where(keep, ews, 0.0)
+    ews = jnp.where(ews > rtol * jnp.max(ews), ews, 0.0)
+    few = jnp.where(ews > 0, fun(jnp.where(ews > 0, ews, 1.0)), 0.0)
+    funC = V * few
+    if sym_square:
+        funC = funC @ V.T
+    return funC
 
 
 @partial(jax.jit, static_argnames=("N",))
@@ -100,6 +119,7 @@ def _dft_mats(M, dtype):
 
 
 @partial(jax.jit, static_argnames=("grid", "N", "r"))
+@_full_precision
 def gaussian_fields_fft(key, grid, N=1, r=0.2):
     """Spectral (circulant embedding) sampler on a regular `Grid2D`.
 

@@ -14,9 +14,9 @@ TPU-first re-design of the reference's DA layer (SURVEY.md C1h-C1l):
   column-subset update exactly (zero columns decouple from the solve).
 - `ies` / `iles` — subspace Gauss-Newton iterative smoothers (Raanes et al.
   2019; reference HistoryMatch.py:906-944, 1007-1064). The GN posterior
-  covariance of w uses eigh(Y0 Y0') instead of the reference's
-  SVD-with-excess-N-zero-padding — algebraically identical: eigh returns all
-  N eigenvalues, zeros included, so covw = V diag(1/(N-1+lambda)) V'.
+  covariance of w is the resolvent (Y0 Y0' + (N-1)I)^{-1}, algebraically
+  identical to the reference's SVD-with-excess-N-zero-padding (see _gn_covw)
+  but factorization-free (Newton-Schulz SPD inverse).
 - `es_mda` — ensemble smoother with multiple data assimilation (not in the
   reference; required by BASELINE.md): iterate `ens_update0` with obs-error
   covariance inflated by alpha_i, sum(1/alpha_i) = 1.
@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from historymatching_tpu.ops.linalg import pinv, spd_solve
+from historymatching_tpu.ops.linalg import _full_precision, pinv, spd_solve
 from historymatching_tpu.utils import center, gaussian_noise
 
 
@@ -44,6 +44,7 @@ def decorrelator(R12):
     return jnp.asarray(np.linalg.inv(np.asarray(R12).T))
 
 
+@_full_precision
 def _kalman_term(S, D, X):
     """Compute D @ inv(S'S + (N-1)I) @ S' @ X, choosing obs- or
     ensemble-space form by static dims."""
@@ -58,6 +59,7 @@ def _kalman_term(S, D, X):
 
 
 @jax.jit
+@_full_precision
 def ens_update0(prior_ens, obs_ens, obs, perturbs, decorr):
     """Stochastic ES analysis update (rows = members). jitted at the API
     boundary (single fused device program; required for TPU backends without
@@ -83,6 +85,7 @@ def _taper_weights(taper):
 
 
 @jax.jit
+@_full_precision
 def ens_update0_loc(prior_ens, obs_ens, obs, perturbs, decorr, taper):
     """Localized (local/domain analysis) ES update. jitted (see ens_update0).
 
@@ -129,6 +132,7 @@ def _gn_covw(Y0, N):
     return spd_solve(G, jnp.eye(N, dtype=Y0.dtype))
 
 
+@_full_precision
 def _ies_inner(W, Eo_w, y_w, D_w, xStep):
     """One jitted IES Gauss-Newton step in the N x N weight matrix W."""
     N = W.shape[0]
@@ -164,6 +168,7 @@ def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4):
     return x0 + W @ X0, stats
 
 
+@_full_precision
 def _iles_inner(Ws, Eo_w, obs_w_innov, xStep, weights):
     """One jitted ILES step: per-cell GN update of Ws (M, N, N).
 

@@ -23,6 +23,7 @@ round-trips.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -30,10 +31,27 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _full_precision(fn):
+    """Run `fn` with float32-accurate matmuls.
+
+    TPU MXU defaults to bfloat16 inputs for f32 matmuls; the Newton-Schulz
+    iterations here need the quadratic-convergence regime, which 8 mantissa
+    bits destroy (measured: ES-MDA posterior stops improving on TPU while
+    bit-identical code improves on CPU)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def _sym(A):
     return 0.5 * (A + A.T)
 
 
+@_full_precision
 def spd_inverse(A, iters=50, jitter=0.0):
     """Inverse of an SPD matrix by diagonally-scaled Newton-Schulz."""
     A = jnp.asarray(A)
@@ -62,6 +80,7 @@ def spd_solve(A, B, iters=50, jitter=0.0):
     return spd_inverse(A, iters=iters, jitter=jitter) @ B
 
 
+@_full_precision
 def pinv(A, iters=50):
     """Moore-Penrose pseudo-inverse via the Ben-Israel-Cohen iteration.
 
@@ -85,6 +104,7 @@ def pinv(A, iters=50):
     return lax.fori_loop(0, iters, body, X)
 
 
+@_full_precision
 def sigma_max(A, iters=24, key=None):
     """Largest singular value by power iteration on A A' (pure matmuls)."""
     A = jnp.asarray(A)
@@ -99,6 +119,7 @@ def sigma_max(A, iters=24, key=None):
     return jnp.sqrt(jnp.maximum(jnp.sum(v * (A @ (A.T @ v))), 0.0))
 
 
+@_full_precision
 def rinv_tikh(A, reg, sigma_iters=24, ns_iters=40):
     """Tikhonov-regularized right pseudo-inverse, SVD-free.
 

@@ -49,24 +49,35 @@ def prod_inds(model: ResSim):
     return model.xy2ind(model.prd_xy[:, 0], model.prd_xy[:, 1])
 
 
-def _comp1(model, pre_perm, wsat0, dt, nTime, transf, sim_kwargs):
+def _comp1(model, pre_perm, wsat0, dt, nTime, transf, sim_kwargs, keep_wsats):
     """Composite forward model for one member (reference comp1,
-    HistoryMatch.py:358-364): set params -> simulate -> observe."""
+    HistoryMatch.py:358-364): set params -> simulate -> observe.
+
+    With keep_wsats=False only the production series (and the final state,
+    for restarts) is materialized — the full (nTime+1, Nxy) history is a
+    large HBM buffer at N=1000 (reference notes the same: state emitted
+    'only ... for future prediction', HistoryMatch.py:370-374)."""
     m = set_perm(model, pre_perm, transf)
     res = simulate(m, wsat0, dt, nTime, **sim_kwargs)
     prods = res.wsats[1:, :][:, prod_inds(m)]  # (nTime, nPrd)
-    return res.wsats, prods
+    if keep_wsats:
+        return res.wsats, prods
+    return res.wsats[-1:], prods  # final state only (restartable)
 
 
-@partial(jax.jit, static_argnames=("dt", "nTime", "transf", "sim_kwargs_t", "wsat0_batched"))
-def _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, sim_kwargs_t, wsat0_batched):
+@partial(
+    jax.jit,
+    static_argnames=("dt", "nTime", "transf", "sim_kwargs_t", "wsat0_batched", "keep_wsats"),
+)
+def _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, sim_kwargs_t, wsat0_batched,
+                  keep_wsats=True):
     sim_kwargs = dict(sim_kwargs_t)
-    f = lambda p, w: _comp1(model, p, w, dt, nTime, transf, sim_kwargs)  # noqa: E731
+    f = lambda p, w: _comp1(model, p, w, dt, nTime, transf, sim_kwargs, keep_wsats)  # noqa: E731
     return jax.vmap(f, in_axes=(0, 0 if wsat0_batched else None))(perm_ens, wsat0)
 
 
 def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=perm_transf,
-                  mesh=None, **sim_kwargs):
+                  mesh=None, keep_wsats=True, **sim_kwargs):
     """Run the ensemble forward model.
 
     Parameters mirror the reference's `forward_model(perm_ens, wsat0)`
@@ -85,14 +96,16 @@ def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=per
     kw_t = tuple(sorted(sim_kwargs.items()))
 
     if mesh is None:
-        return _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, kw_t, batched_w)
+        return _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, kw_t, batched_w,
+                             keep_wsats)
 
     n_dev = mesh.devices.size
     if perm_ens.shape[0] % n_dev:
         raise ValueError(f"N={perm_ens.shape[0]} not divisible by mesh size {n_dev}")
 
     def local(perm_shard, w_shard):
-        return _forward_vmap(model, perm_shard, w_shard, dt, nTime, transf, kw_t, batched_w)
+        return _forward_vmap(model, perm_shard, w_shard, dt, nTime, transf, kw_t, batched_w,
+                             keep_wsats)
 
     in_specs = (P(ENS_AXIS), P(ENS_AXIS) if batched_w else P())
     out_specs = (P(ENS_AXIS), P(ENS_AXIS))
@@ -110,7 +123,7 @@ def obs_ens_fn(model, dt, nTime, wsat0=None, mesh=None, nTime_axis_flat=True):
     flattened production series (N, nTime*nPrd) (reference HistoryMatch.py:958-959)."""
 
     def fn(E):
-        _, prods = forward_model(model, E, wsat0, dt, nTime, mesh=mesh)
+        _, prods = forward_model(model, E, wsat0, dt, nTime, mesh=mesh, keep_wsats=False)
         if nTime_axis_flat:
             return prods.reshape(prods.shape[0], -1)
         return prods

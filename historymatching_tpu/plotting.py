@@ -197,6 +197,115 @@ def add_path12(ax0, ax1, path, objs=None, color="C0", labels=True):
         ax0.annotate("end", path[-1, :2], color=color, fontsize="x-small")
 
 
+def plt_production(ax, production, obs=None, dt=None, title=""):
+    """Single-axis all-wells production plot (reference S3 `plt_production`):
+    lines per producer, obs as markers. `production` (nTime, nPrd)."""
+    production = np.asarray(production)
+    t = np.arange(1, production.shape[0] + 1) * (dt or 1.0)
+    for w in range(production.shape[1]):
+        ax.plot(t, production[:, w], f"C{w}", lw=2, label=f"prd {w}")
+    if obs is not None:
+        obs = np.asarray(obs)
+        for w in range(obs.shape[1]):
+            ax.plot(t, obs[:, w], f"C{w}", marker="*", ls="", ms=5)
+    ax.set(xlabel="time", ylabel="water sat. at producers", title=title,
+           ylim=(-0.01, 1.01))
+    ax.legend(fontsize="x-small")
+    return ax
+
+
+def anim(model, wsat_series, prod_series=None, style="water", interval=80):
+    """Saturation-evolution animation (reference S3 `model.anim`).
+
+    Returns a matplotlib FuncAnimation; save with `.save(path)` or display
+    in a notebook via `HTML(anim.to_jshtml())`."""
+    from matplotlib import animation as mpl_animation
+
+    wsat_series = np.asarray(wsat_series)
+    fig, axs = plt.subplots(1, 2 if prod_series is not None else 1, squeeze=False,
+                            figsize=(9, 3.2))
+    ax0 = axs[0, 0]
+    im = plt_field(ax0, model, wsat_series[0], style, colorbar=True)
+    if prod_series is not None:
+        plt_production(axs[0, 1], np.asarray(prod_series))
+        vline = axs[0, 1].axvline(0, color="k", lw=1)
+
+    def update(t):
+        im.set_data(np.asarray(wsat_series[t]).reshape(model.shape).T)
+        ax0.set_title(f"t = {t}")
+        arts = [im]
+        if prod_series is not None:
+            vline.set_xdata([t, t])
+            arts.append(vline)
+        return arts
+
+    return mpl_animation.FuncAnimation(
+        fig, update, frames=len(wsat_series), interval=interval, blit=False
+    )
+
+
+def field_console(model, compute, style="corr", title="", wells=False, argmax=False,
+                  controls=None, **fixed):
+    """Field 'dashboard' (reference tools/plotting.py:308-355).
+
+    In a notebook with ipywidgets this is interactive; headless, it renders
+    one static frame with the given (or default) control values and returns
+    (fig, ax, field)."""
+    controls = controls or getattr(compute, "controls", {})
+    vals = {}
+    for k, v in controls.items():
+        if isinstance(v, (list, np.ndarray)):
+            vals[k] = v[0]
+        elif isinstance(v, tuple):
+            vals[k] = v[0]
+        else:
+            vals[k] = v
+    vals.update(fixed)
+    try:  # pragma: no cover - notebook path
+        import ipywidgets  # noqa: F401
+        from ipywidgets import interact as _interact
+
+        def show_frame(**kw):
+            Z = compute(**kw)
+            fig, ax = freshfig(title)
+            plt_field(ax, model, Z, style, wells=wells, argmax=argmax, title=title)
+            plt.show()
+
+        _interact(show_frame, **controls)
+        return None
+    except ImportError:
+        Z = compute(**vals)
+        fig, ax = freshfig(title)
+        plt_field(ax, model, Z, style, wells=wells, argmax=argmax, title=title)
+        return fig, ax, Z
+
+
+def toggle_items(series: dict, plot_fn):
+    """Checkbox series toggler (reference tools/plotting.py:469-502);
+    headless fallback plots everything."""
+    try:  # pragma: no cover
+        import ipywidgets as w
+        from IPython.display import display
+
+        boxes = {k: w.Checkbox(value=True, description=k) for k in series}
+
+        def redraw(**kw):
+            plot_fn({k: v for k, v in series.items() if kw[k]})
+
+        display(w.interactive(redraw, **boxes))
+    except ImportError:
+        plot_fn(series)
+
+
+def label_ax(ax, txt, **kwargs):
+    kwargs.setdefault("fontsize", "small")
+    return ax.text(0.01, 0.99, txt, transform=ax.transAxes, va="top", **kwargs)
+
+
+def dash_join(*txts):
+    return " — ".join(t for t in txts if t)
+
+
 def ens_style(label, N=100):
     """Per-method line style with N-scaled alpha
     (reference tools/plotting.py:422-464)."""

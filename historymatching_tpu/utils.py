@@ -92,6 +92,19 @@ def rms(x):
     return jnp.sqrt(jnp.mean(xm2, -1))
 
 
+def emph(text):
+    """Bold terminal text (reference tools/utils.py:93-94)."""
+    return f"\033[1m{text}\033[0m"
+
+
+def split(arr, step):
+    """Split `arr` into segments of length `step` (reference tools/enopt.py:64-72).
+    Retained for API parity; the batched line search makes it unnecessary."""
+    if not step:
+        step = max(1, len(arr))
+    return [arr[i : i + step] for i in range(0, len(arr), step)]
+
+
 def print_RMSMs(series: dict, ref: str):
     """Print RMS error (vs `series[ref]`) and RMS deviation-from-mean tables
     (reference tools/utils.py:97-121). Host-side diagnostic."""
