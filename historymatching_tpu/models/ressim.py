@@ -286,9 +286,10 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
             from historymatching_tpu.ops.multigrid import coarse_inverse
             from historymatching_tpu.ops.pressure_pallas import pressure_solve_pallas
 
-            Ainv = coarse_inverse(hierarchy)
+            Nc, Mc = hierarchy[-1][2].shape
+            Ainv3 = coarse_inverse(hierarchy).reshape(-1, Nc, Mc)  # row-unflattened
             hier_flat = tuple(x for lvl in hierarchy for x in lvl)
-            p, iters, rel_res = pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter)
+            p, iters, rel_res = pressure_solve_pallas(hier_flat, Ainv3, q, p0, tol, maxiter)
             Fx, Fy = face_fluxes(TX, TY, p)
             accepted = rel_res <= (tol if tol_accept is None else tol_accept)
             return p, Fx, Fy, iters, accepted

@@ -29,7 +29,8 @@ def _vdot(a, b):
     return jnp.sum(a * b)
 
 
-def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64):
+def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
+        patience_iters=96):
     """Solve A x = b for SPD A via restarted preconditioned CG.
 
     Parameters
@@ -97,10 +98,11 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64)
         st = lax.fori_loop(0, restart_every, body, st)
         return st[0], st[2]  # x, p
 
-    # Stagnation patience: CG's residual 2-norm is non-monotone and the
-    # non-improving phase can span hundreds of iterations on hard systems, so
-    # patience is measured in iterations (~256), not windows.
-    patience = max(4, -(-256 // restart_every))
+    # Stagnation patience, in iterations: CG's residual 2-norm is non-monotone
+    # (a single non-improving window is normal), but members pinned at their
+    # float32 accuracy floor must not grind the whole `maxiter` budget every
+    # solve — under vmap the batch pays the max.
+    patience = max(4, -(-patience_iters // restart_every))
 
     def cond(state):
         x, p, reset, x_best, rr_best, n_bad, k = state

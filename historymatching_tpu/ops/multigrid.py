@@ -86,6 +86,34 @@ def _prolong(e, shape):
     return jnp.repeat(jnp.repeat(e, 2, axis=0), 2, axis=1)[:Nx, :Ny]
 
 
+def _agg_matrix(n, dtype):
+    """(n/2, n) 2->1 aggregation matrix: R[i, 2i] = R[i, 2i+1] = 1.
+
+    Lets restriction/prolongation run as matmuls (R r R'; R' e R) — the
+    Mosaic-friendly formulation: reshapes that split the lane dimension are
+    unsupported inside Pallas kernels. Built from broadcasted_iota (not a
+    host constant) because pallas_call forbids captured array constants."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+    return ((col == 2 * row) | (col == 2 * row + 1)).astype(dtype)
+
+
+_HI = jax.lax.Precision.HIGHEST  # MXU defaults to bf16 inputs; the grid
+# transfers carry full-precision residuals, so force f32 multiplies.
+
+
+def _restrict_mm(r):
+    Rx = _agg_matrix(r.shape[0], r.dtype)
+    Ry = _agg_matrix(r.shape[1], r.dtype)
+    return jnp.matmul(jnp.matmul(Rx, r, precision=_HI), Ry.T, precision=_HI)
+
+
+def _prolong_mm(e, shape):
+    Rx = _agg_matrix(shape[0], e.dtype)
+    Ry = _agg_matrix(shape[1], e.dtype)
+    return jnp.matmul(jnp.matmul(Rx.T, e, precision=_HI), Ry, precision=_HI)
+
+
 def _jacobi(TX, TY, diag, x, b, sweeps, omega=0.7):
     for _ in range(sweeps):
         x = x + omega * (b - stencil_matvec(TX, TY, diag, x)) / diag
@@ -110,20 +138,48 @@ def coarse_inverse(hierarchy):
     return spd_inverse(Acoarse, jitter=eps)
 
 
-def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7):
+def _coarse_apply_unrolled(Ainv3, b):
+    """y = unvec(Ainv @ vec(b)) without any reshape of runtime data.
+
+    `Ainv3` is the coarse inverse with its *rows* unflattened to (n, Nc, Mc)
+    (reshaped outside the kernel). Each output entry is an elementwise
+    multiply + full reduction; the (Nc, Mc) result is assembled from
+    iota-generated one-hots (pallas_call forbids captured array constants).
+    n <= ~64, fully unrolled — trivial VPU work, Mosaic-safe."""
+    n, Nc, Mc = Ainv3.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (Nc, Mc), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Nc, Mc), 1)
+    y = jnp.zeros((Nc, Mc), b.dtype)
+    for r in range(n):
+        onehot = ((row == r // Mc) & (col == r % Mc)).astype(b.dtype)
+        y = y + jnp.sum(Ainv3[r] * b) * onehot
+    return y
+
+
+def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False):
     """One V-cycle from a zero initial guess: b -> approx A^{-1} b.
 
     Pure jnp on values — usable both under XLA and inside a Pallas kernel
-    (ops/pressure_pallas.py) where the hierarchy lives in VMEM."""
+    (ops/pressure_pallas.py, pass mosaic=True there: grid transfers become
+    matmuls and the coarse solve unrolls, avoiding lane-splitting reshapes
+    that Mosaic cannot lower). With mosaic=True, `Ainv` must be the
+    row-unflattened (n, Nc, Mc) form."""
+    restrict = _restrict_mm if mosaic else _restrict
+    prolong = _prolong_mm if mosaic else _prolong
+
+    def coarse(b):
+        if mosaic:
+            return _coarse_apply_unrolled(Ainv, b)
+        return (Ainv @ b.reshape(-1)).reshape(b.shape)
 
     def cycle(b, lvl):
         TX, TY, diag = hierarchy[lvl]
         if lvl == len(hierarchy) - 1:
-            return (Ainv @ b.reshape(-1)).reshape(b.shape)
+            return coarse(b)
         x = _jacobi(TX, TY, diag, jnp.zeros_like(b), b, nu, omega)
         r = b - stencil_matvec(TX, TY, diag, x)
-        ec = cycle(_restrict(r), lvl + 1)
-        x = x + _prolong(ec, b.shape)
+        ec = cycle(restrict(r), lvl + 1)
+        x = x + prolong(ec, b.shape)
         x = _jacobi(TX, TY, diag, x, b, nu, omega)
         return x
 

@@ -36,7 +36,9 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
 
     hier_flat : flat tuple (TX0, TY0, diag0, TX1, ...) — the Galerkin
         hierarchy from `ops.multigrid.build_hierarchy` (per member).
-    Ainv : dense inverse of the coarsest operator (`coarse_inverse`).
+    Ainv : dense inverse of the coarsest operator (`coarse_inverse`) with
+        rows unflattened to (n, Nc, Mc) — i.e. Ainv.reshape(n, Nc, Mc) —
+        so the kernel's coarse solve needs no runtime reshape.
     q, p0 : RHS and warm-start pressure (Nx, Ny).
 
     Returns (p, iters, rel_res) with rel_res the achieved true relative
@@ -52,7 +54,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
         Ainv_v, q_v, p0_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2]
         TX0, TY0, diag0 = hier[0]
         matvec = lambda x: stencil_matvec(TX0, TY0, diag0, x)  # noqa: E731
-        Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu)  # noqa: E731
+        Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
         x, k, rel = pcg(
             matvec, q_v, x0=p0_v, Minv=Minv, tol=tol, maxiter=maxiter,
             restart_every=restart_every,

@@ -58,12 +58,15 @@ def stencil_diag(TX, TY, pin=None):
 
 
 def stencil_matvec(TX, TY, diag, p):
-    """A @ p for the 5-point TPFA operator. p: (Nx, Ny)."""
+    """A @ p for the 5-point TPFA operator. p: (Nx, Ny).
+
+    Written as pad-and-add (no scatter): identical XLA code, and required
+    for tracing inside Pallas kernels (Mosaic has no scatter-add)."""
     out = diag * p
-    out = out.at[:-1, :].add(-TX * p[1:, :])
-    out = out.at[1:, :].add(-TX * p[:-1, :])
-    out = out.at[:, :-1].add(-TY * p[:, 1:])
-    out = out.at[:, 1:].add(-TY * p[:, :-1])
+    out = out - jnp.pad(TX * p[1:, :], ((0, 1), (0, 0)))
+    out = out - jnp.pad(TX * p[:-1, :], ((1, 0), (0, 0)))
+    out = out - jnp.pad(TY * p[:, 1:], ((0, 0), (0, 1)))
+    out = out - jnp.pad(TY * p[:, :-1], ((0, 0), (1, 0)))
     return out
 
 

@@ -28,8 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _make_kernel(vw, vo, swc, sor):
     def kernel(nsub_ref, dtspv_ref, s_ref, fx_ref, fy_ref, q_ref, out_ref):
-        n_sub = nsub_ref[0]
-        dts_pv = dtspv_ref[0]  # (dt / n_sub) / pore_volume
+        n_sub = nsub_ref[0, 0]
+        dts_pv = dtspv_ref[0, 0]  # (dt / n_sub) / pore_volume
 
         Fx = fx_ref[:]  # (Nx+1, Ny)
         Fy = fy_ref[:]  # (Nx, Ny+1)
@@ -86,8 +86,8 @@ def transport_substeps_pallas(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t, interpr
         out_shape=jax.ShapeDtypeStruct((Nx, Ny), s.dtype),
         interpret=interpret,
     )(
-        jnp.reshape(n_sub, (1,)).astype(jnp.int32),
-        jnp.reshape(dts_over_pv, (1,)).astype(s.dtype),
+        jnp.reshape(n_sub, (1, 1)).astype(jnp.int32),
+        jnp.reshape(dts_over_pv, (1, 1)).astype(s.dtype),
         s,
         Fx,
         Fy,

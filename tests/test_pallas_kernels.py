@@ -80,11 +80,12 @@ def test_pressure_pallas_matches_xla(key):
     diag = dnp.at[0, 0].add(pin)
     q = jnp.zeros(g.shape, jnp.float32).at[8, 8].set(1.0).at[2, 2].set(-1.0)
     hierarchy = build_hierarchy(TX, TY, pin)
-    Ainv = coarse_inverse(hierarchy)
+    Nc, Mc = hierarchy[-1][2].shape
+    Ainv3 = coarse_inverse(hierarchy).reshape(-1, Nc, Mc)
     hier_flat = tuple(x for lvl in hierarchy for x in lvl)
 
     p_pl, it_pl, rel_pl = pressure_solve_pallas(
-        hier_flat, Ainv, q, jnp.zeros_like(q), tol=1e-4, maxiter=256, interpret=True
+        hier_flat, Ainv3, q, jnp.zeros_like(q), tol=1e-4, maxiter=256, interpret=True
     )
     mv = lambda x: stencil_matvec(TX, TY, diag, x)
     p_x, it_x, rel_x = pcg(
