@@ -83,18 +83,28 @@ def main():
 
     e_prior, e_post = rmse(prior), rmse(post)
 
+    n_dev = len(jax.devices())
+    # The BASELINE.md target (10 s) is for a v5e-8 (8 chips); this bench runs
+    # on however many devices are visible (usually ONE chip here). Ensemble
+    # parallelism is communication-free (members are independent through the
+    # forward model; the analysis matmuls are tiny), so the v5e-8 projection
+    # divides by the missing chip factor.
+    proj8 = elapsed / (8 / n_dev) if n_dev < 8 else elapsed
     print(
         json.dumps(
             {
-                "metric": f"N={N_ENS} fwd+ES-MDA({MDA_STEPS}) {NX}x{NY} nTime={NTIME} wall-clock",
+                "metric": f"N={N_ENS} fwd+ES-MDA({MDA_STEPS}) {NX}x{NY} nTime={NTIME} "
+                f"wall-clock ({n_dev}-chip)",
                 "value": round(elapsed, 3),
                 "unit": "s",
                 "vs_baseline": round(TARGET_S / elapsed, 3),
+                "projected_v5e8_s": round(proj8, 3),
+                "vs_baseline_v5e8_projected": round(TARGET_S / proj8, 3),
                 "rmse_prior": round(e_prior, 4),
                 "rmse_post": round(e_post, 4),
                 "posterior_improves": bool(e_post < e_prior),
                 "first_call_s": round(t_compile, 3),
-                "devices": len(jax.devices()),
+                "devices": n_dev,
                 "backend": jax.devices()[0].platform,
             }
         )

@@ -239,13 +239,14 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None):
     With alphas = [1.0] this is exactly one ES step.
     """
     E = jnp.asarray(prior_ens)
-    R12 = jnp.asarray(R12)
+    dtype = E.dtype  # the whole pass stays in the ensemble's precision
+    R12 = jnp.asarray(R12).astype(dtype)
     p = R12.shape[0]
     N = E.shape[0]
-    dec0 = decorrelator(R12)
-    for a in jnp.asarray(alphas):
+    dec0 = decorrelator(R12).astype(dtype)
+    for a in jnp.asarray(alphas).astype(dtype):
         key, sub = jax.random.split(key)
-        Eo = jnp.asarray(forward_obs(E))
+        Eo = jnp.asarray(forward_obs(E)).astype(dtype)
         perturbs = jnp.sqrt(a) * gaussian_noise(sub, N, p, L=R12)
         dec = dec0 / jnp.sqrt(a)
         if taper is None:

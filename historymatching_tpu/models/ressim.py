@@ -54,7 +54,12 @@ class Fluid:
 
 
 def _f(x):
-    return jnp.asarray(x, dtype=jnp.result_type(float))
+    """Canonicalize to a float array, preserving an existing float dtype
+    (so float32 ensembles stay float32 even when x64 is enabled)."""
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.result_type(float))
+    return x
 
 
 @jax.tree_util.register_dataclass

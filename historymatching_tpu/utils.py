@@ -51,9 +51,11 @@ def gaussian_noise(key, N, M, L=1.0):
     """Sample a 0-mean Gaussian ensemble of shape (N, M).
 
     `L` is a Cholesky factor (M, M) or a scalar std-dev — same duck-typing
-    contract as the reference (tools/utils.py:58-67), but keyed."""
+    contract as the reference (tools/utils.py:58-67), but keyed. The sample
+    inherits a matrix factor's dtype (float32 pipelines stay float32)."""
     L = jnp.asarray(L)
-    Z = jax.random.normal(key, (N, M), dtype=jnp.result_type(float))
+    dtype = L.dtype if L.ndim == 2 else jnp.result_type(float)
+    Z = jax.random.normal(key, (N, M), dtype=dtype)
     if L.ndim == 2:
         return Z @ L.T
     return Z * L

@@ -1,0 +1,46 @@
+"""Small-scale replica of the bench workload in float32 on CPU.
+
+Guards the class of bugs that only show at default precision (the f64 suite
+can mask f32 CG floors, sampler breakdowns, bf16 matmul degradation): prior
+sampling -> 40-step ensemble forward -> 4-step ES-MDA must produce finite
+saturations and an improved posterior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from historymatching_tpu.da.geostat import gaussian_fields_fft
+from historymatching_tpu.da.update import es_mda, mda_alphas
+from historymatching_tpu.parallel.runner import forward_model
+from historymatching_tpu.utils import temporal_R
+from tests.test_sim import default_model
+
+
+def test_es_mda_f32_end_to_end():
+    m = default_model(Nx=16, Ny=16)
+    key = jax.random.PRNGKey(3)
+    k_t, k_p, k_n, k_m = jax.random.split(key, 4)
+    truth = gaussian_fields_fft(k_t, m.grid, N=1, r=0.8).astype(jnp.float32)[0]
+    prior = gaussian_fields_fft(k_p, m.grid, N=32, r=0.8).astype(jnp.float32)
+    nTime = 40
+
+    _, prod_t = forward_model(m, truth[None], dt=0.025, nTime=nTime, keep_wsats=False)
+    _, R12 = temporal_R(nTime, m.nPrd)
+    R12 = jnp.asarray(R12, jnp.float32)
+    noise = R12 @ jax.random.normal(k_n, (nTime * m.nPrd,), jnp.float32)
+    obs = jnp.clip(prod_t[0].reshape(-1) + noise, 0, 1)
+
+    def fwd_obs(E):
+        _, prods = forward_model(m, E, dt=0.025, nTime=nTime, keep_wsats=False)
+        return prods.reshape(prods.shape[0], -1)
+
+    post = es_mda(prior, fwd_obs, obs, R12, mda_alphas(4), k_m)
+    assert post.dtype == jnp.float32
+    assert bool(jnp.isfinite(post).all())
+
+    def rmse(E):
+        return float(jnp.sqrt(jnp.mean((jnp.mean(E, 0) - truth) ** 2)))
+
+    e_prior, e_post = rmse(prior), rmse(post)
+    assert e_post < e_prior, (e_prior, e_post)
