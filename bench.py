@@ -63,8 +63,23 @@ def main():
         _, prods = forward_model(model, E, dt=DT, nTime=NTIME, keep_wsats=False)
         return prods.reshape(prods.shape[0], -1)
 
+    loc_kw = {}
+    if os.environ.get("BENCH_LOCAL") == "1":
+        # Optional domain-batched localization (reference radius 1.2, bump
+        # taper). Measured at N=1000: +9s wall-clock, no RMSE gain — with
+        # 1000 members the sampling error localization fixes is already
+        # small. It matters at small N (the reference's regime).
+        from historymatching_tpu.da.localization import domain_partition
+        from historymatching_tpu.parallel.runner import prod_inds
+
+        domains, taper_dom = domain_partition(
+            model.grid, np.asarray(prod_inds(model)), nTime=NTIME,
+            steps=(4, 4), radius=1.2,
+        )
+        loc_kw = dict(domains=domains, taper_dom=jnp.asarray(taper_dom, prior.dtype))
+
     def workload(prior_, key_):
-        return es_mda(prior_, fwd_obs, obs, R12, mda_alphas(MDA_STEPS), key_)
+        return es_mda(prior_, fwd_obs, obs, R12, mda_alphas(MDA_STEPS), key_, **loc_kw)
 
     # Warm-up/compile with the measured shapes (jit caches per shape).
     t_compile = time.perf_counter()

@@ -23,6 +23,7 @@ from historymatching_tpu.models.ressim import Fluid, ResSim, simulate
 from historymatching_tpu.da.update import (
     ens_update0,
     ens_update0_loc,
+    ens_update0_loc_domains,
     ies,
     iles,
     es_mda,
@@ -47,6 +48,7 @@ __all__ = [
     "simulate",
     "ens_update0",
     "ens_update0_loc",
+    "ens_update0_loc_domains",
     "ies",
     "iles",
     "es_mda",

@@ -70,6 +70,31 @@ def dist_to_obs(grid, obs_inds, nTime=1, domain=None):
     return pairwise_distances(xy_prm, xy_obs, domain=domain)
 
 
+def domain_partition(grid, obs_inds, nTime=1, steps=(8, 8), radius=1.2, sharpness=1):
+    """Domains + per-domain tapers for the batched local analysis
+    (`da.update.ens_update0_loc_domains`).
+
+    Splits the grid into rectangular domains (`steps` cells each; must divide
+    the grid evenly so domains stack), computes each domain's
+    centre-to-observation distances (obs tiled over `nTime` like
+    `dist_to_obs`), and returns (domains, taper_dom): an
+    (nDom, cells_per_domain) int array, and the (nDom, nObs*nTime) bump taper.
+    """
+    if grid.Nx % steps[0] or grid.Ny % steps[1]:
+        raise ValueError(f"steps {steps} must divide the grid {grid.shape}")
+    batches = rectangular_partitioning(grid.shape, list(steps))
+    xy_obs = np.asarray(grid.ind2xy(np.asarray(obs_inds))).T
+    xy_obs = np.tile(xy_obs, (nTime, 1))
+    centres = []
+    for b in batches:
+        xy = np.asarray(grid.ind2xy(np.asarray(b))).T
+        centres.append(xy.mean(0))
+    dists = pairwise_distances(np.asarray(centres), xy_obs)
+    taper_dom = bump(dists / radius, sharpness)
+    domains = np.stack([np.asarray(b, np.int32) for b in batches])
+    return domains, taper_dom
+
+
 def rectangular_partitioning(shape, steps, do_ind=True):
     """N-D rectangular batch generation for batched local analysis.
 

@@ -27,6 +27,8 @@ applied to the production-forecast ensemble itself — no separate code needed.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -115,6 +117,51 @@ def ens_update0_loc(prior_ens, obs_ens, obs, perturbs, decorr, taper):
 
     dE = jax.vmap(local, in_axes=(1, 0), out_axes=1)(X, W)  # (N, M)
     return prior_ens + dE
+
+
+@jax.jit
+@_full_precision
+def ens_update0_loc_domains(prior_ens, obs_ens, obs, perturbs, decorr, taper_dom, domains):
+    """Domain-batched localized ES update.
+
+    The reference notes a batched variant of the local analysis ("sequentially
+    processing batches, i.e. subsets/domains", HistoryMatch.py:802-804) built
+    on `rectangular_partitioning`. Cells within a domain share one taper row
+    (piecewise-constant localization), so each domain needs ONE ensemble-space
+    solve instead of one per cell — O(nDom) solves instead of O(Nxy). This is
+    what makes localization affordable at 64x64+ with N=1000.
+
+    Parameters
+    ----------
+    taper_dom : (nDom, p) per-domain taper (e.g. bump(dist(domain centre,
+        obs)/radius)).
+    domains : (nDom, cells_per_domain) int array of flat cell indices (from
+        `localization.domain_partition`); equal-sized domains covering every
+        state element exactly once. Implemented as a `lax.scan` over domains
+        (an unrolled loop at nDom ~ 256 explodes compile time).
+    """
+    prior_ens = jnp.asarray(prior_ens)
+    N = prior_ens.shape[0]
+    X, _ = center(prior_ens)
+    Y, _ = center(jnp.asarray(obs_ens))
+    S = Y @ decorr
+    D = (obs - obs_ens - perturbs) @ decorr
+    W = _taper_weights(taper_dom).astype(S.dtype)  # (nDom, p)
+    c = N - 1.0
+    eye = jnp.eye(N, dtype=S.dtype)
+    domains = jnp.asarray(domains, jnp.int32)
+
+    def body(E_new, dom):
+        idx, w = dom
+        Sw = S * w
+        G = Sw @ S.T + c * eye
+        G = 0.5 * (G + G.T)
+        dE = (D * w) @ (S.T @ spd_solve(G, X[:, idx]))
+        E_new = E_new.at[:, idx].set(prior_ens[:, idx] + dE)
+        return E_new, None
+
+    E_new, _ = jax.lax.scan(body, prior_ens, (domains, W))
+    return E_new
 
 
 # -- iterative smoothers -------------------------------------------------------
@@ -230,13 +277,15 @@ def mda_alphas(n):
     return jnp.full((n,), float(n))
 
 
-def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None):
+def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=None,
+           taper_dom=None):
     """ES-MDA: iterated stochastic ES with inflated obs-error covariance.
 
     Each step i re-runs `forward_obs` on the current ensemble and applies
-    `ens_update0` (or the localized variant if `taper` is given) with
-    R -> alpha_i R, i.e. perturbs *= sqrt(alpha_i), decorr /= sqrt(alpha_i).
-    With alphas = [1.0] this is exactly one ES step.
+    `ens_update0` (or the per-cell localized variant if `taper` is given, or
+    the domain-batched localized variant if `domains` + `taper_dom` are
+    given) with R -> alpha_i R: perturbs *= sqrt(alpha_i),
+    decorr /= sqrt(alpha_i). With alphas = [1.0] this is exactly one ES step.
     """
     E = jnp.asarray(prior_ens)
     dtype = E.dtype  # the whole pass stays in the ensemble's precision
@@ -249,8 +298,10 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None):
         Eo = jnp.asarray(forward_obs(E)).astype(dtype)
         perturbs = jnp.sqrt(a) * gaussian_noise(sub, N, p, L=R12)
         dec = dec0 / jnp.sqrt(a)
-        if taper is None:
-            E = ens_update0(E, Eo, obs, perturbs, dec)
-        else:
+        if domains is not None:
+            E = ens_update0_loc_domains(E, Eo, obs, perturbs, dec, taper_dom, domains)
+        elif taper is not None:
             E = ens_update0_loc(E, Eo, obs, perturbs, dec, taper)
+        else:
+            E = ens_update0(E, Eo, obs, perturbs, dec)
     return E

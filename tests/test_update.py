@@ -175,3 +175,46 @@ def test_es_mda_localized(key):
     R12 = 2.0 * jnp.eye(D)
     post = es_mda(prior, lambda E: E, obs, R12, mda_alphas(4), k2, taper=jnp.eye(D))
     _check_gg_posterior(post)
+
+
+def test_loc_domains_equals_per_cell(key):
+    """Domain-batched LES with singleton domains == per-cell LES; with shared
+    per-domain tapers it equals per-cell LES using the broadcast taper."""
+    from historymatching_tpu.da.update import ens_update0_loc_domains
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    N, M, p = 20, 12, 8
+    prior = jax.random.normal(k1, (N, M))
+    obs_ens = prior @ jax.random.normal(k2, (M, p)) * 0.5
+    obs = jax.random.normal(k3, (p,))
+    perturbs = jax.random.normal(k4, (N, p))
+    decorr = jnp.eye(p)
+
+    # singleton domains, arbitrary taper
+    taper = np.abs(np.sin(np.arange(M)[:, None] + np.arange(p)[None, :]))
+    taper[taper < 0.2] = 0.0
+    domains = np.arange(M, dtype=np.int32).reshape(M, 1)
+    got = ens_update0_loc_domains(prior, obs_ens, obs, perturbs, decorr, taper, domains)
+    ref = ens_update0_loc(prior, obs_ens, obs, perturbs, decorr, taper)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-9)
+
+    # block domains with shared taper rows == per-cell with broadcast taper
+    domains2 = np.arange(12, dtype=np.int32).reshape(3, 4)
+    taper_dom = np.asarray(taper[[0, 4, 8]])
+    got2 = ens_update0_loc_domains(prior, obs_ens, obs, perturbs, decorr, taper_dom, domains2)
+    taper_bc = np.repeat(taper_dom, 4, axis=0)
+    ref2 = ens_update0_loc(prior, obs_ens, obs, perturbs, decorr, taper_bc)
+    assert np.allclose(np.asarray(got2), np.asarray(ref2), atol=1e-9)
+
+
+def test_domain_partition_helper():
+    from historymatching_tpu.da.localization import domain_partition
+    from historymatching_tpu.grid import Grid2D
+
+    g = Grid2D(Nx=16, Ny=16, Lx=2, Ly=1)
+    obs_inds = np.array([17, 200])
+    domains, taper_dom = domain_partition(g, obs_inds, nTime=3, steps=(4, 4), radius=1.2)
+    allidx = np.sort(np.concatenate([np.asarray(d) for d in domains]))
+    assert np.array_equal(allidx, np.arange(g.Nxy))
+    assert np.asarray(taper_dom).shape == (len(domains), 6)
+    assert np.asarray(taper_dom).max() <= 1.0
