@@ -142,3 +142,89 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
     _, _, _, x_best, rr_best, _, k = lax.while_loop(cond, body, state0)
     rel_res = jnp.sqrt(rr_best / jnp.maximum(bb, jnp.finfo(dtype).tiny))
     return x_best, k, rel_res
+
+
+def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=8,
+                patience_iters=96):
+    """Hand-batched restarted PCG: `b`, `x0` are (B, ...) member batches.
+
+    Same algorithm as `pcg` with per-member masking, but with a *scalar*
+    while-condition (all members done) — required inside Pallas kernels,
+    where Mosaic rejects the vector conditions `jax.vmap(pcg)` produces.
+    `matvec`/`Minv` must accept the full (B, ...) batch.
+    Returns (x, iters (B,), rel_res (B,)).
+    """
+    dtype = b.dtype
+    B = b.shape[0]
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    Minv_ = (lambda r: r) if Minv is None else Minv
+    axes = tuple(range(1, b.ndim))
+
+    def vdot(u, v):  # per-member dot -> (B,)
+        return jnp.sum(u * v, axis=axes)
+
+    def bc(s):  # broadcast (B,) over field dims
+        return s.reshape((B,) + (1,) * (b.ndim - 1))
+
+    bb = vdot(b, b)
+    tol2 = (tol * tol) * jnp.maximum(bb, jnp.finfo(dtype).tiny)
+
+    r0 = b - matvec(x0)
+    x0 = x0 + jnp.zeros_like(r0)
+    patience = max(4, -(-patience_iters // restart_every))
+
+    def cg_steps(x, r, p, rz, beta_mask):
+        def body(_, st):
+            x, r, p, rz, rr = st
+            live = rr > tol2  # (B,)
+            Ap = matvec(p)
+            pAp = vdot(p, Ap)
+            alpha = jnp.where(live, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
+            x = x + bc(alpha) * p
+            r = r - bc(alpha) * Ap
+            z = Minv_(r)
+            rz_new = jnp.where(live, vdot(r, z), rz)
+            beta = jnp.where(live, beta_mask * rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+            p = jnp.where(bc(live), z + bc(beta) * p, p)
+            return (x, r, p, rz_new, jnp.where(live, vdot(r, r), rr))
+
+        st = (x, r, p, rz, vdot(r, r))
+        st = lax.fori_loop(0, restart_every, body, st)
+        return st[0], st[2]
+
+    def cond(state):
+        x, p, use_sd, x_best, rr_best, n_bad, k = state
+        active = (rr_best > tol2) & (n_bad < patience)
+        return (k < maxiter) & jnp.any(active)
+
+    def body(state):
+        x, p, use_sd, x_best, rr_best, n_bad, k = state
+        r = b - matvec(x)
+        z = Minv_(r)
+        beta_mask = jnp.where(use_sd, 0.0, 1.0).astype(dtype)  # (B,)
+        p_start = jnp.where(bc(use_sd), z, p)
+        x_new, p_new = cg_steps(x, r, p_start, vdot(r, z), beta_mask)
+        rr_new = vdot(b - matvec(x_new), b - matvec(x_new))
+        finite = jnp.isfinite(rr_new)
+        blown = (~finite) | (rr_new > 100.0 * jnp.maximum(rr_best, tol2))
+        better = finite & (rr_new < rr_best)
+        x_best = jnp.where(bc(better), x_new, x_best)
+        rr_best = jnp.where(better, rr_new, rr_best)
+        x = jnp.where(bc(blown), x_best, x_new)
+        n_bad = jnp.where(better, 0, n_bad + 1)
+        return (x, p_new, blown, x_best, rr_best, n_bad, k + restart_every)
+
+    rr0 = vdot(r0, r0)
+    state0 = (
+        x0,
+        Minv_(r0),
+        rr0 != rr0,
+        x0,
+        rr0,
+        jnp.zeros((B,), jnp.int32),
+        jnp.array(0, jnp.int32),
+    )
+    _, _, _, x_best, rr_best, _, k = lax.while_loop(cond, body, state0)
+    rel_res = jnp.sqrt(rr_best / jnp.maximum(bb, jnp.finfo(dtype).tiny))
+    iters = jnp.full((B,), k, jnp.int32)
+    return x_best, iters, rel_res

@@ -103,14 +103,14 @@ _HI = jax.lax.Precision.HIGHEST  # MXU defaults to bf16 inputs; the grid
 
 
 def _restrict_mm(r):
-    Rx = _agg_matrix(r.shape[0], r.dtype)
-    Ry = _agg_matrix(r.shape[1], r.dtype)
+    Rx = _agg_matrix(r.shape[-2], r.dtype)
+    Ry = _agg_matrix(r.shape[-1], r.dtype)
     return jnp.matmul(jnp.matmul(Rx, r, precision=_HI), Ry.T, precision=_HI)
 
 
 def _prolong_mm(e, shape):
-    Rx = _agg_matrix(shape[0], e.dtype)
-    Ry = _agg_matrix(shape[1], e.dtype)
+    Rx = _agg_matrix(shape[-2], e.dtype)
+    Ry = _agg_matrix(shape[-1], e.dtype)
     return jnp.matmul(jnp.matmul(Rx.T, e, precision=_HI), Ry, precision=_HI)
 
 
@@ -146,17 +146,18 @@ def _coarse_apply_unrolled(Ainv3, b):
     multiply + full reduction; the (Nc, Mc) result is assembled from
     iota-generated one-hots (pallas_call forbids captured array constants).
     n <= ~64, fully unrolled — trivial VPU work, Mosaic-safe."""
-    n, Nc, Mc = Ainv3.shape
+    n, Nc, Mc = Ainv3.shape[-3:]
     row = jax.lax.broadcasted_iota(jnp.int32, (Nc, Mc), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (Nc, Mc), 1)
-    y = jnp.zeros((Nc, Mc), b.dtype)
+    y = jnp.zeros_like(b)
     for r in range(n):
         onehot = ((row == r // Mc) & (col == r % Mc)).astype(b.dtype)
-        y = y + jnp.sum(Ainv3[r] * b) * onehot
+        coef = jnp.sum(Ainv3[..., r, :, :] * b, axis=(-2, -1), keepdims=True)
+        y = y + coef * onehot
     return y
 
 
-def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False):
+def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False, omega_c=1.4):
     """One V-cycle from a zero initial guess: b -> approx A^{-1} b.
 
     Pure jnp on values — usable both under XLA and inside a Pallas kernel
@@ -179,17 +180,20 @@ def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False):
         x = _jacobi(TX, TY, diag, jnp.zeros_like(b), b, nu, omega)
         r = b - stencil_matvec(TX, TY, diag, x)
         ec = cycle(restrict(r), lvl + 1)
-        x = x + prolong(ec, b.shape)
+        # Constant-aggregation coarse spaces systematically under-correct;
+        # the standard fix is over-correction (omega_c ~ 1.5-1.9), which
+        # markedly improves the cycle's contraction at no extra cost.
+        x = x + omega_c * prolong(ec, b.shape)
         x = _jacobi(TX, TY, diag, x, b, nu, omega)
         return x
 
     return cycle(b, 0)
 
 
-def vcycle_solver(hierarchy, nu=2, omega=0.7):
+def vcycle_solver(hierarchy, nu=2, omega=0.7, omega_c=1.4):
     """Return M_inv: b -> approx A^{-1} b (one V-cycle, zero initial guess).
 
     The returned closure is a fixed SPD preconditioner suitable for PCG.
     """
     Ainv = coarse_inverse(hierarchy)
-    return lambda b: vcycle_apply(hierarchy, Ainv, b, nu, omega)
+    return lambda b: vcycle_apply(hierarchy, Ainv, b, nu, omega, omega_c=omega_c)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from historymatching_tpu.ops.cg import pcg
+from historymatching_tpu.ops.cg import pcg, pcg_batched
 from historymatching_tpu.ops.multigrid import vcycle_apply
 from historymatching_tpu.ops.stencil import stencil_matvec
 
@@ -81,3 +81,70 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
         interpret=interpret,
     )(*hier_flat, Ainv, q, p0)
     return p, it[0, 0], rel[0, 0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tol", "maxiter", "restart_every", "nu", "block", "interpret"),
+)
+def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
+                                  nu=2, block=8, interpret=False):
+    """Batched variant: all inputs carry a leading member axis (N, ...).
+
+    Each Pallas program solves `block` members with the hand-batched
+    `pcg_batched` (scalar while-condition; per-member masking) — ops become
+    (block, Nx, Ny) sized, which would amortize the VPU small-op overhead
+    that dominates per-member programs. Correct in interpreter mode (tested),
+    but the Mosaic compiler in this environment CRASHES (SIGABRT) compiling
+    it — kept for when the toolchain catches up; production uses the
+    per-member kernel. N must be divisible by `block`.
+    Returns (p, iters, rel) with leading N.
+    """
+    N = q.shape[0]
+    assert N % block == 0, (N, block)
+    L = len(hier_flat) // 3
+    n_in = len(hier_flat) + 3
+
+    def kernel(*refs):
+        ins, (p_out, it_out, rel_out) = refs[:n_in], refs[n_in:]
+        vals = [r[:] for r in ins]  # each (block, ...)
+        hier = [tuple(vals[3 * lv : 3 * lv + 3]) for lv in range(L)]
+        Ainv_v, q_v, p0_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2]
+        TX0, TY0, diag0 = hier[0]
+        # Hand-batched solver: stencil_matvec / vcycle_apply / pcg_batched all
+        # operate on the full (block, Nx, Ny) batch with per-member masking —
+        # Mosaic rejects the vector while-condition that jax.vmap(pcg) makes.
+        matvec = lambda x: stencil_matvec(TX0, TY0, diag0, x)  # noqa: E731
+        Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
+        x, k, rel = pcg_batched(matvec, q_v, x0=p0_v, Minv=Minv, tol=tol,
+                                maxiter=maxiter, restart_every=restart_every)
+        p_out[:] = x
+        it_out[0, 0] = k
+        rel_out[0, 0] = rel
+
+    def bspec(x):
+        return pl.BlockSpec((block,) + x.shape[1:], lambda i: (i,) + (0,) * (x.ndim - 1))
+
+    args = tuple(hier_flat) + (Ainv, q, p0)
+    in_specs = [bspec(a) for a in args]
+    # Scalar-per-member outputs as (nBlocks, 1, block) VMEM vectors: the
+    # block's last two dims equal the array's (Mosaic block-shape rule), and
+    # SMEM only accepts true scalar stores.
+    out_specs = (
+        bspec(q),
+        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0)),
+    )
+    p, it, rel = pl.pallas_call(
+        kernel,
+        grid=(N // block,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((N // block, 1, block), jnp.int32),
+            jax.ShapeDtypeStruct((N // block, 1, block), q.dtype),
+        ),
+        interpret=interpret,
+    )(*args)
+    return p, it.reshape(N), rel.reshape(N)

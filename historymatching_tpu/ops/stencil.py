@@ -58,15 +58,17 @@ def stencil_diag(TX, TY, pin=None):
 
 
 def stencil_matvec(TX, TY, diag, p):
-    """A @ p for the 5-point TPFA operator. p: (Nx, Ny).
+    """A @ p for the 5-point TPFA operator. p: [..., Nx, Ny] (any leading
+    batch dims, matching TX/TY/diag).
 
     Written as pad-and-add (no scatter): identical XLA code, and required
     for tracing inside Pallas kernels (Mosaic has no scatter-add)."""
+    z = [(0, 0)] * (p.ndim - 2)
     out = diag * p
-    out = out - jnp.pad(TX * p[1:, :], ((0, 1), (0, 0)))
-    out = out - jnp.pad(TX * p[:-1, :], ((1, 0), (0, 0)))
-    out = out - jnp.pad(TY * p[:, 1:], ((0, 0), (0, 1)))
-    out = out - jnp.pad(TY * p[:, :-1], ((0, 0), (1, 0)))
+    out = out - jnp.pad(TX * p[..., 1:, :], z + [(0, 1), (0, 0)])
+    out = out - jnp.pad(TX * p[..., :-1, :], z + [(1, 0), (0, 0)])
+    out = out - jnp.pad(TY * p[..., :, 1:], z + [(0, 0), (0, 1)])
+    out = out - jnp.pad(TY * p[..., :, :-1], z + [(0, 0), (1, 0)])
     return out
 
 

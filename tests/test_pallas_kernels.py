@@ -101,3 +101,36 @@ def test_pressure_pallas_matches_xla(key):
         assert np.linalg.norm(r) / nq < 1e-3
     scale = np.abs(np.asarray(p_x)).max()
     assert np.allclose(np.asarray(p_pl), np.asarray(p_x), atol=2e-3 * scale)
+
+
+def test_pcg_batched_matches_single(key):
+    """Hand-batched pcg (scalar while-cond, for Mosaic) == per-member pcg."""
+    from historymatching_tpu.ops.cg import pcg, pcg_batched
+    from historymatching_tpu.ops.multigrid import build_hierarchy, coarse_inverse, vcycle_solver
+    from historymatching_tpu.ops.stencil import stencil_diag_nopin, stencil_matvec, transmissibilities
+
+    m = default_model(Nx=16, Ny=16)
+    g = m.grid
+    B = 4
+    perm = jax.random.normal(key, (B, g.Nxy)).astype(jnp.float32)
+    q = jnp.zeros(g.shape, jnp.float32).at[8, 8].set(1.0).at[2, 2].add(-1.0)
+
+    def build(p):
+        K = (0.1 + jnp.exp(3 * p)).reshape(g.shape)
+        TX, TY = transmissibilities(K, K, g.hx, g.hy)
+        dnp = stencil_diag_nopin(TX, TY)
+        pin = jnp.mean(dnp)
+        return TX, TY, dnp.at[0, 0].add(pin), pin
+
+    TXb, TYb, diagb, pinb = jax.vmap(build)(perm)
+
+    mv_b = lambda x: stencil_matvec(TXb, TYb, diagb, x)
+    qb = jnp.tile(q, (B, 1, 1))
+    xb, itb, relb = pcg_batched(
+        mv_b, qb, Minv=lambda r: r / diagb, tol=1e-4, maxiter=1024, restart_every=8
+    )
+    for b in range(B):
+        mv1 = lambda x: stencil_matvec(TXb[b], TYb[b], diagb[b], x)
+        # batched solution solves each member's system to tolerance
+        r = np.asarray(q - mv1(xb[b]))
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(q)) < 5e-3
