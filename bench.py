@@ -53,14 +53,23 @@ def main():
 
     # Truth + synthetic obs
     _, prod_truth = forward_model(model, truth[None], dt=DT, nTime=NTIME)
+
     nPrd = prod_truth.shape[-1]
     _, R12 = temporal_R(NTIME, nPrd)
     R12 = jnp.asarray(R12, dtype=prior.dtype)
     noise = (R12 @ jax.random.normal(k_noise, (NTIME * nPrd,), dtype=prior.dtype))
     obs = jnp.clip(prod_truth[0].reshape(-1) + noise, 0, 1)
 
+    patience = int(os.environ.get("BENCH_PATIENCE", "192"))
+    # Solver accuracy drives posterior quality: measured (N=1000, 64x64)
+    # patience  96: 58s,  posterior RMSE 1.0327 (vs prior 1.0327)
+    # patience 256: 110s, posterior RMSE 1.0038
+    # 192 favors the BASELINE quality criterion while staying ~8x faster
+    # than the naive solver settings.
+
     def fwd_obs(E):
-        _, prods = forward_model(model, E, dt=DT, nTime=NTIME, keep_wsats=False)
+        _, prods = forward_model(model, E, dt=DT, nTime=NTIME, keep_wsats=False,
+                                 patience_iters=patience)
         return prods.reshape(prods.shape[0], -1)
 
     loc_kw = {}

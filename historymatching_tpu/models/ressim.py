@@ -266,7 +266,7 @@ def _source_field(model: ResSim, inj_t, prd_t):
 
 
 def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg",
-                  use_pallas=False):
+                  use_pallas=False, patience_iters=96):
     """TPFA pressure solve for saturation field `s` (Nx, Ny) and source `q`.
     Returns (p, Fx, Fy, iters, accepted). `accepted` compares the achieved
     true relative residual against `tol_accept` (defaults to `tol`) — float32
@@ -294,7 +294,9 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
             Nc, Mc = hierarchy[-1][2].shape
             Ainv3 = coarse_inverse(hierarchy).reshape(-1, Nc, Mc)  # row-unflattened
             hier_flat = tuple(x for lvl in hierarchy for x in lvl)
-            p, iters, rel_res = pressure_solve_pallas(hier_flat, Ainv3, q, p0, tol, maxiter)
+            p, iters, rel_res = pressure_solve_pallas(
+                hier_flat, Ainv3, q, p0, tol, maxiter, patience_iters=patience_iters
+            )
             Fx, Fy = face_fluxes(TX, TY, p)
             accepted = rel_res <= (tol if tol_accept is None else tol_accept)
             return p, Fx, Fy, iters, accepted
@@ -304,7 +306,8 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
         Minv = 1.0 / diag
         restart_every = 64
     p, iters, rel_res = pcg(
-        matvec, q, x0=p0, Minv=Minv, tol=tol, maxiter=maxiter, restart_every=restart_every
+        matvec, q, x0=p0, Minv=Minv, tol=tol, maxiter=maxiter,
+        restart_every=restart_every, patience_iters=patience_iters,
     )
     Fx, Fy = face_fluxes(TX, TY, p)
     accepted = rel_res <= (tol if tol_accept is None else tol_accept)
@@ -369,10 +372,11 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
     jax.jit,
     static_argnames=(
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
+        "patience_iters",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
-             max_substeps=4096, precond="mg", use_pallas=None):
+             max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -419,7 +423,7 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         inj_t, prd_t = rates_t
         q = _source_field(model, inj_t, prd_t).astype(dtype)
         p, Fx, Fy, iters, conv = pressure_step(
-            model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas
+            model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas, patience_iters
         )
         s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps, use_pallas)
         return (s_new, p), (s_new.reshape(-1), iters, conv, n_sub)

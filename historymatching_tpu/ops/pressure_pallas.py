@@ -29,9 +29,10 @@ from historymatching_tpu.ops.multigrid import vcycle_apply
 from historymatching_tpu.ops.stencil import stencil_matvec
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "restart_every", "nu", "interpret"))
+@partial(jax.jit, static_argnames=("tol", "maxiter", "restart_every", "nu", "interpret",
+                                   "patience_iters"))
 def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8, nu=2,
-                          interpret=False):
+                          interpret=False, patience_iters=96):
     """Solve the TPFA pressure system for one member in one fused kernel.
 
     hier_flat : flat tuple (TX0, TY0, diag0, TX1, ...) — the Galerkin
@@ -57,7 +58,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
         Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
         x, k, rel = pcg(
             matvec, q_v, x0=p0_v, Minv=Minv, tol=tol, maxiter=maxiter,
-            restart_every=restart_every,
+            restart_every=restart_every, patience_iters=patience_iters,
         )
         p_out[:] = x
         it_out[0, 0] = k
