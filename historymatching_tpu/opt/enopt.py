@@ -166,6 +166,12 @@ def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=No
     else:
         info["cause"] = "GD ran out of iters"
     info["nIter"] = itr
+    # Objective-evaluation accounting (the reference tracks this via a
+    # fun.nCalls attribute, tools/utils.py:227-228): initial eval + per
+    # iteration nEns gradient evals (2x for StoSAG) + the full trial batch.
+    per_grad = getattr(nabla, "nEns", 0) * (2 if getattr(nabla, "robustly", None) == "StoSAG" else 1)
+    n_iters_run = len(states) - 1 + (0 if info.get("cause") == "GD ran out of iters" else 1)
+    info["nEvals"] = 1 + n_iters_run * (per_grad + len(getattr(line_search, "xSteps", ())))
 
     path = np.asarray([s[0] for s in states])
     objs = np.asarray([s[1] for s in states])
