@@ -27,7 +27,6 @@ applied to the production-forecast ensemble itself — no separate code needed.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

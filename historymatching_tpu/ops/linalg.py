@@ -24,7 +24,6 @@ round-trips.
 from __future__ import annotations
 
 import functools
-from functools import partial
 
 import jax
 import jax.numpy as jnp
