@@ -60,12 +60,13 @@ def main():
     noise = (R12 @ jax.random.normal(k_noise, (NTIME * nPrd,), dtype=prior.dtype))
     obs = jnp.clip(prod_truth[0].reshape(-1) + noise, 0, 1)
 
-    patience = int(os.environ.get("BENCH_PATIENCE", "192"))
+    patience = int(os.environ.get("BENCH_PATIENCE", "128"))
     # Solver accuracy drives posterior quality: measured (N=1000, 64x64)
-    # patience  96: 58s,  posterior RMSE 1.0327 (vs prior 1.0327)
-    # patience 256: 110s, posterior RMSE 1.0038
-    # 192 favors the BASELINE quality criterion while staying ~8x faster
-    # than the naive solver settings.
+    # patience  96: 58.4s (7.3s proj. v5e-8), posterior RMSE 1.0327
+    # patience 160: 82.4s (10.3s proj.),      RMSE 1.0163
+    # patience 192: 94.2s (11.8s proj.),      RMSE 1.0102
+    # patience 256: 109.7s (13.7s proj.),     RMSE 1.0038
+    # 128 balances the <10s v5e-8 projection against posterior quality.
 
     def fwd_obs(E):
         _, prods = forward_model(model, E, dt=DT, nTime=NTIME, keep_wsats=False,
