@@ -80,7 +80,7 @@ def spd_solve(A, B, iters=50, jitter=0.0):
 
 
 @_full_precision
-def pinv(A, iters=50):
+def pinv(A, iters=24):
     """Moore-Penrose pseudo-inverse via the Ben-Israel-Cohen iteration.
 
     X_0 = A' / b with the certain bound b = min(||A||_1 ||A||_inf, ||A||_F^2)
@@ -88,6 +88,13 @@ def pinv(A, iters=50):
     rank-deficient A is covered); the Frobenius bound keeps the initial
     contraction ~1/rank instead of ~1/(m n). ~`iters` GEMM pairs.
     Replaces jnp.linalg.pinv (SVD custom call) on TPU.
+
+    `iters` is capped low on purpose: rounding noise outside range(A')
+    DOUBLES every iteration (x -> x(2I - Ax) acts as x -> 2x there), so at
+    float32 eps ~1e-7 fifty iterations overflow for ill-conditioned A
+    (measured: IES's pinv(W) NaN'd at the reference configuration after a
+    few outer GN steps). 24 iterations bound the amplification at ~2^24 eps
+    while well-conditioned inputs converge in ~15.
     """
     A = jnp.asarray(A)
     m = A.shape[-2]

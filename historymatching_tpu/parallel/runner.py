@@ -32,8 +32,15 @@ except ImportError:  # pragma: no cover
 
 def perm_transf(x):
     """Pre-permeability transform: 0.1 + exp(5 x)
-    (reference HistoryMatch.py:137-138)."""
-    return 0.1 + jnp.exp(5.0 * x)
+    (reference HistoryMatch.py:137-138).
+
+    The exponent is capped at 80 (K <= 5.5e34): iterative methods (IES/ILES)
+    can overshoot members into a regime where exp overflows float32 to inf
+    and the whole run NaNs — the reference never sees this because it runs
+    float64. Beyond e^80 the simulation is physically meaningless anyway, so
+    the cap only affects already-divergent members (and keeps them finite so
+    later iterations can pull them back)."""
+    return 0.1 + jnp.exp(jnp.minimum(5.0 * x, 80.0))
 
 
 def set_perm(model: ResSim, log_perm_array, transf=perm_transf):

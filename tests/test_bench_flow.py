@@ -44,3 +44,37 @@ def test_es_mda_f32_end_to_end():
 
     e_prior, e_post = rmse(prior), rmse(post)
     assert e_post < e_prior, (e_prior, e_post)
+
+
+def test_ies_f32_stays_finite():
+    """IES in float32 at a realistic configuration: pinv's Ben-Israel
+    iteration must not amplify rounding noise to NaN over outer GN steps
+    (regression: 50 inner iterations NaN'd at the reference config)."""
+    from historymatching_tpu.da.update import decorrelator, ies
+    from historymatching_tpu.utils import gaussian_noise
+
+    m = default_model(Nx=16, Ny=16)
+    key = jax.random.PRNGKey(7)
+    k_t, k_p, k_n, k_q = jax.random.split(key, 4)
+    truth = gaussian_fields_fft(k_t, m.grid, N=1, r=0.8).astype(jnp.float32)[0]
+    prior = gaussian_fields_fft(k_p, m.grid, N=24, r=0.8).astype(jnp.float32)
+    nTime = 30
+
+    _, prod_t = forward_model(m, truth[None], dt=0.025, nTime=nTime, keep_wsats=False)
+    _, R12 = temporal_R(nTime, m.nPrd)
+    R12 = jnp.asarray(R12, jnp.float32)
+    obs = jnp.clip(
+        prod_t[0].reshape(-1) + R12 @ jax.random.normal(k_n, (nTime * m.nPrd,), jnp.float32),
+        0, 1,
+    )
+
+    def fwd_obs(E):
+        _, prods = forward_model(m, E, dt=0.025, nTime=nTime, keep_wsats=False)
+        return prods.reshape(prods.shape[0], -1)
+
+    post, stats = ies(
+        prior, fwd_obs, obs, gaussian_noise(k_q, 24, nTime * m.nPrd, L=R12),
+        decorrelator(R12).astype(jnp.float32), xStep=0.4, iMax=6,
+    )
+    assert bool(jnp.isfinite(post).all())
+    assert bool(jnp.isfinite(stats["Eo"]).all())
