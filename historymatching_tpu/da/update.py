@@ -187,7 +187,12 @@ def _ies_inner(W, Eo_w, y_w, D_w, xStep):
     grad_y = (y_w - D_w - Eo_w) @ Y0.T
     grad_b = (N - 1.0) * (W0 - W)
     covw = _gn_covw(Y0, N)
-    return W + xStep * ((grad_y + grad_b) @ covw)
+    W_new = W + xStep * ((grad_y + grad_b) @ covw)
+    # float32 safeguard: if the GN step overflowed or exploded (degenerate W
+    # / extreme members — reference weights live in ~[-0.5, 1]), keep the
+    # previous weights instead of poisoning the run.
+    ok = jnp.all(jnp.isfinite(W_new)) & (jnp.max(jnp.abs(W_new)) < 1e3)
+    return jnp.where(ok, W_new, W)
 
 
 def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4):
@@ -237,7 +242,11 @@ def _iles_inner(Ws, Eo_w, obs_w_innov, xStep, weights):
         G = 0.5 * (G + G.T) + (N - 1.0) * jnp.eye(N, dtype=S.dtype)
         covw = spd_solve(G, jnp.eye(N, dtype=S.dtype))
         grad_b = (N - 1.0) * (W0 - Wi)
-        return Wi + xStep * ((grad_y + grad_b) @ covw)
+        Wi_new = Wi + xStep * ((grad_y + grad_b) @ covw)
+        # float32 safeguard (see _ies_inner): cells whose local step
+        # overflowed or exploded keep their previous weights.
+        ok = jnp.all(jnp.isfinite(Wi_new)) & (jnp.max(jnp.abs(Wi_new)) < 1e3)
+        return jnp.where(ok, Wi_new, Wi)
 
     return jax.vmap(local)(Ws, weights)
 
