@@ -70,6 +70,35 @@ def dist_to_obs(grid, obs_inds, nTime=1, domain=None):
     return pairwise_distances(xy_prm, xy_obs, domain=domain)
 
 
+def xy_max_corr(grid, param_ens, prod_ens, t_min=6):
+    """Trajectories of the correlation-field maxima per well over time
+    (reference HistoryMatch.py:829-842): for each producer and time step,
+    the (x, y) of the cell whose prior-parameter/production correlation is
+    largest. Times before `t_min` carry almost zero correlation, so they
+    fall back to the `t_min` location (reference :838-842).
+
+    param_ens (N, Nxy); prod_ens (N, nTime, nPrd). Returns (nPrd, nTime, 2).
+    Basis for experimental time-dependent localization (feed the result as
+    obs coordinates to `pairwise_distances`).
+    """
+    from historymatching_tpu.utils import corr
+
+    param_ens = jnp.asarray(param_ens)
+    prod_ens = jnp.asarray(prod_ens)
+    nTime, nPrd = prod_ens.shape[1], prod_ens.shape[2]
+
+    def field_argmax(t, w):
+        C = corr(param_ens, prod_ens[:, t, w])
+        return jnp.asarray(grid.ind2xy(jnp.argmax(C)))  # (2,)
+
+    paths = np.zeros((nPrd, nTime, 2))
+    for w in range(nPrd):
+        for t in range(t_min, nTime):
+            paths[w, t] = np.asarray(field_argmax(t, w))
+        paths[w, :t_min] = paths[w, t_min]
+    return paths
+
+
 def domain_partition(grid, obs_inds, nTime=1, steps=(8, 8), radius=1.2, sharpness=1):
     """Domains + per-domain tapers for the batched local analysis
     (`da.update.ens_update0_loc_domains`).

@@ -19,6 +19,8 @@ import matplotlib
 
 matplotlib.use("Agg", force=False)  # headless-safe default; notebooks override
 from matplotlib import pyplot as plt  # noqa: E402
+from matplotlib.colors import AsinhNorm  # noqa: E402,F401  (re-export; reference
+# notebooks use plotting.AsinhNorm for the rosenbrock contour scale)
 
 
 # -- style registry (reference tools/plotting.py:20-54) -------------------------

@@ -47,3 +47,27 @@ def test_dist_to_obs_shape_and_tiling():
     assert D.shape == (30, 8)
     # obs tiled: block repeats every nObs columns
     assert np.allclose(D[:, :2], D[:, 2:4])
+
+
+def test_xy_max_corr(key=None):
+    import jax
+    import jax.numpy as jnp
+
+    from historymatching_tpu.grid import Grid2D
+
+    g = Grid2D(Nx=10, Ny=10, Lx=2, Ly=1)
+    rng = np.random.default_rng(0)
+    N, nTime, nPrd = 60, 8, 2
+    param = rng.normal(size=(N, g.Nxy))
+    # make production at well w perfectly track the parameter at a known cell
+    cells = [g.sub2ind(2, 3), g.sub2ind(7, 6)]
+    prod = np.zeros((N, nTime, nPrd))
+    for w, c in enumerate(cells):
+        prod[:, :, w] = param[:, int(c)][:, None] + 0.01 * rng.normal(size=(N, nTime))
+    paths = loc.xy_max_corr(g, jnp.asarray(param), jnp.asarray(prod), t_min=2)
+    assert paths.shape == (nPrd, nTime, 2)
+    for w, c in enumerate(cells):
+        expect = np.asarray(g.ind2xy(int(c)))
+        assert np.allclose(paths[w, 2:], expect[None, :], atol=1e-9)
+        # pre-t_min fallback copies the t_min location
+        assert np.allclose(paths[w, 0], paths[w, 2])
