@@ -39,6 +39,7 @@ from historymatching_tpu.ops.stencil import (
     face_fluxes,
     stencil_diag_nopin,
     stencil_matvec,
+    stencil_residual_ds,
     transmissibilities,
 )
 
@@ -305,9 +306,15 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
     else:
         Minv = 1.0 / diag
         restart_every = 64
+    # Compensated (double-single) residual in the replacement step: measured
+    # to lower the median float32 cold-solve floor ~1.5x (5.1e-3 -> 3.3e-3 on
+    # the 64x64 perm_transf suite) at a few percent extra cost. The p90 tail
+    # is preconditioner-limited, not residual-limited — unaffected.
+    residual_fn = lambda x: stencil_residual_ds(TX, TY, diag, x, q)  # noqa: E731
     p, iters, rel_res = pcg(
         matvec, q, x0=p0, Minv=Minv, tol=tol, maxiter=maxiter,
         restart_every=restart_every, patience_iters=patience_iters,
+        residual_fn=residual_fn,
     )
     Fx, Fy = face_fluxes(TX, TY, p)
     accepted = rel_res <= (tol if tol_accept is None else tol_accept)

@@ -30,7 +30,7 @@ def _vdot(a, b):
 
 
 def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
-        patience_iters=96):
+        patience_iters=96, residual_fn=None):
     """Solve A x = b for SPD A via restarted preconditioned CG.
 
     Parameters
@@ -64,7 +64,9 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
     # Guard an all-zero RHS (legal: zero rates).
     tol2 = (tol * tol) * jnp.maximum(bb, jnp.finfo(dtype).tiny)
 
-    r0 = b - matvec(x0)
+    resid = (lambda x: b - matvec(x)) if residual_fn is None else residual_fn
+
+    r0 = resid(x0)
     # Inherit the system's varying-manual-axes type (shard_map): a replicated
     # initial guess / RHS must not differ in vma from the loop outputs, which
     # pick up "varying" from the (member-sharded) operator coefficients.
@@ -113,12 +115,13 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
         # Residual replacement: refresh r with the *true* residual but keep
         # the search direction p — preserves the CG convergence rate while
         # resetting the f32 drift between recurred and true residuals.
-        r = b - matvec(x)
+        r = resid(x)
         z = Minv_(r)
         beta_mask = jnp.where(use_sd, 0.0, 1.0).astype(b.dtype)
         p_start = jnp.where(use_sd, z, p)
         x_new, p_new = cg_steps(x, r, p_start, _vdot(r, z), beta_mask)
-        rr_new = _vdot(b - matvec(x_new), b - matvec(x_new))
+        r_new = resid(x_new)
+        rr_new = _vdot(r_new, r_new)
         # Divergence guard only — the residual 2-norm is NOT monotone in CG,
         # so moderate growth is legitimate; a >100x jump (or non-finite) means
         # f32 drift destroyed the direction. Revert to the best iterate and
@@ -145,7 +148,7 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
 
 
 def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=8,
-                patience_iters=96):
+                patience_iters=96, residual_fn=None):
     """Hand-batched restarted PCG: `b`, `x0` are (B, ...) member batches.
 
     Same algorithm as `pcg` with per-member masking, but with a *scalar*
@@ -168,8 +171,9 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
 
     bb = vdot(b, b)
     tol2 = (tol * tol) * jnp.maximum(bb, jnp.finfo(dtype).tiny)
+    resid = (lambda x: b - matvec(x)) if residual_fn is None else residual_fn
 
-    r0 = b - matvec(x0)
+    r0 = resid(x0)
     x0 = x0 + jnp.zeros_like(r0)
     patience = max(4, -(-patience_iters // restart_every))
 
@@ -199,12 +203,13 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
 
     def body(state):
         x, p, use_sd, x_best, rr_best, n_bad, k = state
-        r = b - matvec(x)
+        r = resid(x)
         z = Minv_(r)
         beta_mask = jnp.where(use_sd, 0.0, 1.0).astype(dtype)  # (B,)
         p_start = jnp.where(bc(use_sd), z, p)
         x_new, p_new = cg_steps(x, r, p_start, vdot(r, z), beta_mask)
-        rr_new = vdot(b - matvec(x_new), b - matvec(x_new))
+        r_new = resid(x_new)
+        rr_new = vdot(r_new, r_new)
         finite = jnp.isfinite(rr_new)
         blown = (~finite) | (rr_new > 100.0 * jnp.maximum(rr_best, tol2))
         better = finite & (rr_new < rr_best)

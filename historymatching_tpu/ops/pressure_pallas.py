@@ -26,13 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from historymatching_tpu.ops.cg import pcg, pcg_batched
 from historymatching_tpu.ops.multigrid import vcycle_apply
-from historymatching_tpu.ops.stencil import stencil_matvec
+from historymatching_tpu.ops.stencil import stencil_matvec, stencil_residual_ds
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "restart_every", "nu", "interpret",
-                                   "patience_iters"))
+                                   "patience_iters", "compensated"))
 def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8, nu=2,
-                          interpret=False, patience_iters=96):
+                          interpret=False, patience_iters=96, compensated=False):
     """Solve the TPFA pressure system for one member in one fused kernel.
 
     hier_flat : flat tuple (TX0, TY0, diag0, TX1, ...) — the Galerkin
@@ -56,9 +56,15 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
         TX0, TY0, diag0 = hier[0]
         matvec = lambda x: stencil_matvec(TX0, TY0, diag0, x)  # noqa: E731
         Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
+        # Compensated (double-single) replacement residual. Compiles under
+        # Mosaic but measured 7-40x slower per solve (0.18 -> 2.6-7.9 ms at
+        # 64x64; even Neumaier-sum-only costs 20x) for a ~1.2x floor gain —
+        # default OFF on the TPU hot path. The XLA path keeps it (cheap there).
+        rfn = (lambda x: stencil_residual_ds(TX0, TY0, diag0, x, q_v)) if compensated else None
         x, k, rel = pcg(
             matvec, q_v, x0=p0_v, Minv=Minv, tol=tol, maxiter=maxiter,
             restart_every=restart_every, patience_iters=patience_iters,
+            residual_fn=rfn,
         )
         p_out[:] = x
         it_out[0, 0] = k

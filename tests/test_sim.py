@@ -200,3 +200,39 @@ def test_viscosity_ratio_changes_front():
     bt1 = np.asarray(res1.wsats)[:, prd_ind].max()
     bt2 = np.asarray(res2.wsats)[:, prd_ind].max()
     assert bt2 > bt1 - 1e-9
+
+
+def test_compensated_residual_matches_f64_and_beats_plain_f32():
+    """stencil_residual_ds == b - A p (exactly, in f64), and in f32 it tracks
+    the f64 truth far better than the plain evaluation on a high-contrast
+    operator (the reason it backs pcg's residual-replacement step)."""
+    import jax
+
+    from historymatching_tpu.ops.stencil import stencil_residual_ds, transmissibilities
+
+    rng = np.random.default_rng(7)
+    Nx = Ny = 32
+    K = 0.1 + np.exp(np.minimum(5.0 * rng.normal(size=(Nx, Ny)), 80.0))
+    p64 = jnp.asarray(rng.normal(size=(Nx, Ny)))
+    b64 = jnp.asarray(rng.normal(size=(Nx, Ny)))
+    TX, TY = transmissibilities(jnp.asarray(K), jnp.asarray(K), 1.0 / Nx, 1.0 / Ny)
+    diag = stencil_diag(TX, TY)
+
+    # f64: compensated == plain to roundoff
+    r_plain = b64 - stencil_matvec(TX, TY, diag, p64)
+    r_ds = stencil_residual_ds(TX, TY, diag, p64, b64)
+    assert float(jnp.max(jnp.abs(r_plain - r_ds))) <= 1e-12 * float(jnp.max(jnp.abs(r_plain)))
+
+    # f32 under jit: compensated tracks the f64 truth much more closely
+    f = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    args32 = (f(TX), f(TY), f(diag), f(p64), f(b64))
+    r32_plain = jax.jit(lambda tx, ty, d, p, b: b - stencil_matvec(tx, ty, d, p))(*args32)
+    r32_ds = jax.jit(stencil_residual_ds)(*args32)
+    err_plain = float(jnp.max(jnp.abs(r32_plain - r_plain)))
+    err_ds = float(jnp.max(jnp.abs(r32_ds - r_plain)))
+    assert err_ds < err_plain / 4, (err_ds, err_plain)
+
+    # batch dims broadcast like stencil_matvec
+    rB = stencil_residual_ds(TX, TY, diag, jnp.stack([p64, 2 * p64]), b64)
+    assert rB.shape == (2, Nx, Ny)
+    assert float(jnp.max(jnp.abs(rB[0] - r_ds))) == 0.0
