@@ -35,7 +35,7 @@ def main():
     from historymatching_tpu.parallel.runner import forward_model, prod_inds
     from historymatching_tpu.utils import gaussian_noise, temporal_R
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(int(os.environ.get("BENCH_SEED", "1")))
     Lx, Ly = 2.0, 1.0
     near01 = np.array([0.12, 0.87])
     prd_xy = [[x, y] for y in Ly * near01 for x in Lx * near01]

@@ -290,13 +290,17 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
         hierarchy = build_hierarchy(TX, TY, pin)
         if use_pallas:
             from historymatching_tpu.ops.multigrid import coarse_inverse
-            from historymatching_tpu.ops.pressure_pallas import pressure_solve_pallas
+            from historymatching_tpu.ops.pressure_pallas import pressure_solve_vmappable
 
             Nc, Mc = hierarchy[-1][2].shape
             Ainv3 = coarse_inverse(hierarchy).reshape(-1, Nc, Mc)  # row-unflattened
             hier_flat = tuple(x for lvl in hierarchy for x in lvl)
-            p, iters, rel_res = pressure_solve_pallas(
-                hier_flat, Ainv3, q, p0, tol, maxiter, patience_iters=patience_iters
+            # custom_vmap: per-member fused kernel when unbatched; under the
+            # ensemble vmap the rule dispatches the block-batched kernel
+            # (~1.4x faster — ops sized (block, Nx, Ny) amortize dispatch).
+            p, iters, rel_res = pressure_solve_vmappable(
+                hier_flat, Ainv3, q, p0, tol=tol, maxiter=maxiter,
+                patience_iters=patience_iters,
             )
             Fx, Fy = face_fluxes(TX, TY, p)
             accepted = rel_res <= (tol if tol_accept is None else tol_accept)

@@ -155,19 +155,47 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
     while-condition (all members done) — required inside Pallas kernels,
     where Mosaic rejects the vector conditions `jax.vmap(pcg)` produces.
     `matvec`/`Minv` must accept the full (B, ...) batch.
-    Returns (x, iters (B,), rel_res (B,)).
+    Returns (x, iters scalar, rel_res (B, 1, ..., 1)); callers squeeze
+    rel_res outside the kernel (in-kernel rank-1 reshapes abort Mosaic).
+
+    Mosaic layout discipline (each rule is a measured compiler failure):
+    - per-member scalars are carried BROADCAST TO FULL FIELD SHAPE
+      (B, Nx, Ny). Rank-1 (B,) vectors abort layout inference
+      (`layout.h: arr.size() >= layout_rank`); keepdims (B, 1, 1) scalars
+      are ruled out twice over — reductions produce the lane-replicated
+      layout {*,*} while loop-body results are concrete {0,0}, and carrying
+      the mix through `scf.while` fails to legalize ("failed to legalize
+      scf.yield"), while re-broadcasting a concrete (B, 1, 1) to the field
+      is "Not implemented: Broadcast in both sublanes and lanes". Full-size
+      carries are always concrete, and the broadcast happens right after
+      the reduction while the value is still replicated (free).
+    - reductions go ONE AXIS AT A TIME, last to first: a multi-axis
+      `jnp.sum(axis=(1,2), keepdims=True)` lowers through a rank-1
+      `vector<Bxf32>`.
+    - the while-condition reduces axis 0 first (rank-3 -> rank-2), then a
+      full rank-2 reduce to a true scalar — `jnp.any` and full rank-3
+      reductions both lower via `vector<1xf32>`.
     """
     dtype = b.dtype
     B = b.shape[0]
     x0 = jnp.zeros_like(b) if x0 is None else x0
     Minv_ = (lambda r: r) if Minv is None else Minv
-    axes = tuple(range(1, b.ndim))
 
-    def vdot(u, v):  # per-member dot -> (B,)
-        return jnp.sum(u * v, axis=axes)
+    def vdot(u, v):
+        """Per-member dot, broadcast back to the full field shape (B, ...).
 
-    def bc(s):  # broadcast (B,) over field dims
-        return s.reshape((B,) + (1,) * (b.ndim - 1))
+        The intermediate never drops below rank 2, and the broadcast happens
+        while the reduced value still has Mosaic's replicated layout."""
+        s = u * v
+        for ax in range(s.ndim - 1, 0, -1):
+            s = jnp.sum(s, axis=ax, keepdims=True)
+        return jnp.broadcast_to(s, b.shape)
+
+    def scalarize(field_bool):
+        """Any-member-true over a full-size boolean field -> true scalar."""
+        f = jnp.where(field_bool, 1.0, 0.0).astype(dtype)
+        f2 = jnp.sum(f, axis=0)  # rank-3 -> rank-2 (never rank-1)
+        return jnp.sum(f2) > 0
 
     bb = vdot(b, b)
     tol2 = (tol * tol) * jnp.maximum(bb, jnp.finfo(dtype).tiny)
@@ -180,16 +208,16 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
     def cg_steps(x, r, p, rz, beta_mask):
         def body(_, st):
             x, r, p, rz, rr = st
-            live = rr > tol2  # (B,)
+            live = rr > tol2  # (B, ...) full-size mask
             Ap = matvec(p)
             pAp = vdot(p, Ap)
             alpha = jnp.where(live, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
-            x = x + bc(alpha) * p
-            r = r - bc(alpha) * Ap
+            x = x + alpha * p
+            r = r - alpha * Ap
             z = Minv_(r)
             rz_new = jnp.where(live, vdot(r, z), rz)
             beta = jnp.where(live, beta_mask * rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-            p = jnp.where(bc(live), z + bc(beta) * p, p)
+            p = jnp.where(live, z + beta * p, p)
             return (x, r, p, rz_new, jnp.where(live, vdot(r, r), rr))
 
         st = (x, r, p, rz, vdot(r, r))
@@ -199,37 +227,43 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
     def cond(state):
         x, p, use_sd, x_best, rr_best, n_bad, k = state
         active = (rr_best > tol2) & (n_bad < patience)
-        return (k < maxiter) & jnp.any(active)
+        return (k < maxiter) & scalarize(active)
 
     def body(state):
+        # use_sd is a 0/1 float field, NOT a bool: carrying i1 vectors
+        # through scf.while trips Mosaic's "Expected mask vector types"
+        # (tpu.mask_cast on the packed mask layout).
         x, p, use_sd, x_best, rr_best, n_bad, k = state
         r = resid(x)
         z = Minv_(r)
-        beta_mask = jnp.where(use_sd, 0.0, 1.0).astype(dtype)  # (B,)
-        p_start = jnp.where(bc(use_sd), z, p)
+        sd = use_sd > 0.5
+        beta_mask = 1.0 - use_sd
+        p_start = jnp.where(sd, z, p)
         x_new, p_new = cg_steps(x, r, p_start, vdot(r, z), beta_mask)
         r_new = resid(x_new)
         rr_new = vdot(r_new, r_new)
         finite = jnp.isfinite(rr_new)
         blown = (~finite) | (rr_new > 100.0 * jnp.maximum(rr_best, tol2))
         better = finite & (rr_new < rr_best)
-        x_best = jnp.where(bc(better), x_new, x_best)
+        x_best = jnp.where(better, x_new, x_best)
         rr_best = jnp.where(better, rr_new, rr_best)
-        x = jnp.where(bc(blown), x_best, x_new)
+        x = jnp.where(blown, x_best, x_new)
         n_bad = jnp.where(better, 0, n_bad + 1)
-        return (x, p_new, blown, x_best, rr_best, n_bad, k + restart_every)
+        blown_f = jnp.where(blown, 1.0, 0.0).astype(dtype)
+        return (x, p_new, blown_f, x_best, rr_best, n_bad, k + restart_every)
 
     rr0 = vdot(r0, r0)
     state0 = (
         x0,
         Minv_(r0),
-        rr0 != rr0,
+        rr0 * 0,  # use_sd = all-zero float field (see body)
         x0,
         rr0,
-        jnp.zeros((B,), jnp.int32),
+        (rr0 * 0).astype(jnp.int32),
         jnp.array(0, jnp.int32),
     )
     _, _, _, x_best, rr_best, _, k = lax.while_loop(cond, body, state0)
-    rel_res = jnp.sqrt(rr_best / jnp.maximum(bb, jnp.finfo(dtype).tiny))
-    iters = jnp.full((B,), k, jnp.int32)
-    return x_best, iters, rel_res
+    rel_full = jnp.sqrt(rr_best / jnp.maximum(bb, jnp.finfo(dtype).tiny))
+    # Per-member value lives constant across the field; one slice suffices.
+    rel_res = rel_full[(slice(None),) + (slice(0, 1),) * (b.ndim - 1)]
+    return x_best, k, rel_res

@@ -102,16 +102,30 @@ _HI = jax.lax.Precision.HIGHEST  # MXU defaults to bf16 inputs; the grid
 # transfers carry full-precision residuals, so force f32 multiplies.
 
 
+def _mm2d(A, r, Bt):
+    """A @ r @ Bt for a 2-D field or a leading-batch (B, Nx, Ny) stack.
+
+    Batched matmuls are unrolled over the leading dim: Mosaic lowers a
+    rank-3 `jnp.matmul` through a sublane->lane merging reshape
+    ((B, Nx, Ny) -> (Nx, B*Ny)), which is an unsupported shape cast; plain
+    2-D matmuls (the per-member kernel's proven path) lower cleanly."""
+    if r.ndim == 2:
+        return jnp.matmul(jnp.matmul(A, r, precision=_HI), Bt, precision=_HI)
+    rows = [jnp.matmul(jnp.matmul(A, r[i], precision=_HI), Bt, precision=_HI)
+            for i in range(r.shape[0])]
+    return jnp.stack(rows)
+
+
 def _restrict_mm(r):
     Rx = _agg_matrix(r.shape[-2], r.dtype)
     Ry = _agg_matrix(r.shape[-1], r.dtype)
-    return jnp.matmul(jnp.matmul(Rx, r, precision=_HI), Ry.T, precision=_HI)
+    return _mm2d(Rx, r, Ry.T)
 
 
 def _prolong_mm(e, shape):
     Rx = _agg_matrix(shape[-2], e.dtype)
     Ry = _agg_matrix(shape[-1], e.dtype)
-    return jnp.matmul(jnp.matmul(Rx.T, e, precision=_HI), Ry, precision=_HI)
+    return _mm2d(Rx.T, e, Ry)
 
 
 def _jacobi(TX, TY, diag, x, b, sweeps, omega=0.7):
@@ -152,8 +166,15 @@ def _coarse_apply_unrolled(Ainv3, b):
     y = jnp.zeros_like(b)
     for r in range(n):
         onehot = ((row == r // Mc) & (col == r % Mc)).astype(b.dtype)
-        coef = jnp.sum(Ainv3[..., r, :, :] * b, axis=(-2, -1), keepdims=True)
-        y = y + coef * onehot
+        # Reduce one axis at a time (a multi-axis keepdims sum lowers via a
+        # rank-1 vector, which aborts Mosaic layout inference) and broadcast
+        # back to full size immediately, while the reduced value still has
+        # Mosaic's replicated layout (a later concrete (B,1,1)->(B,Nc,Mc)
+        # broadcast is "Not implemented: Broadcast in both sublanes+lanes").
+        s = Ainv3[..., r, :, :] * b
+        for ax in range(s.ndim - 1, s.ndim - 3, -1):
+            s = jnp.sum(s, axis=ax, keepdims=True)
+        y = y + jnp.broadcast_to(s, b.shape) * onehot
     return y
 
 
