@@ -353,10 +353,14 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
     dts = dt / n_sub.astype(s.dtype)
 
     if use_pallas:
-        from historymatching_tpu.ops.transport_pallas import transport_substeps_pallas
+        from historymatching_tpu.ops.transport_pallas import transport_substeps_vmappable
 
         fluid_t = (fl.vw, fl.vo, fl.swc, fl.sor)
-        s = transport_substeps_pallas(s, Fx, Fy, q, dts / pv, n_sub, fluid_t)
+        # custom_vmap: per-member fused kernel when unbatched; under the
+        # ensemble vmap the rule dispatches the block-batched kernel (the
+        # block runs to its max CFL count with per-member freeze masks).
+        s = transport_substeps_vmappable(s, Fx, Fy, q, dts / pv, n_sub,
+                                         fluid_t=fluid_t)
         return s, n_sub
 
     def substep(_, s):

@@ -1,16 +1,19 @@
-"""Pallas TPU kernel: fused upwind saturation transport.
+"""Pallas TPU kernels: fused upwind saturation transport.
 
 The XLA path runs each CFL substep as ~a dozen separate HBM-roundtrip ops;
 with 100+ substeps per outer time step (the CFL count is set by the
 injector-cell pore-volume/influx ratio) that is thousands of small
-bandwidth/latency-bound passes per step. This kernel runs *all* substeps of
+bandwidth/latency-bound passes per step. These kernels run *all* substeps of
 one outer step entirely in VMEM: saturation, fluxes and well sources are
 loaded once, the `fori_loop` over substeps (dynamic trip count from SMEM)
 does pure VPU work, and the final saturation is written once.
 
-The kernel is written per-member (no grid); batching over the ensemble comes
-from `vmap` (pallas_call's batching rule turns the member axis into a grid
-dimension), so it drops into the existing vmap(simulate) structure.
+Two variants: a per-member kernel (no grid; `vmap` turns the member axis
+into a grid dimension) and a block-batched kernel (`block` members per
+Mosaic program, amortizing the small-op overhead; the block runs to its max
+substep count with per-member live masks). `transport_substeps_vmappable`
+exposes the per-member call whose custom-vmap rule dispatches the blocked
+kernel — mirroring ops/pressure_pallas.py.
 
 Numerics are identical to `models.ressim.transport_step`'s inner loop
 (donor-cell upwinding, quadratic Corey relperm, per-substep clamp).
@@ -93,3 +96,119 @@ def transport_substeps_pallas(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t, interpr
         Fy,
         q,
     )
+
+
+def _make_kernel_batched(vw, vo, swc, sor, ndim):
+    z = [(0, 0)] * (ndim - 2)
+
+    def kernel(nmax_ref, nsub_ref, dtspv_ref, s_ref, fx_ref, fy_ref, q_ref, out_ref):
+        # whole (nblocks, 1) SMEM array (grid-sliced SMEM blocks are
+        # rejected by the TPU lowering); pick this program's entry.
+        n_max = nmax_ref[pl.program_id(0), 0]
+        nsub_f = nsub_ref[:]  # (B, Nx, Ny) float: per-member substep count
+        dts_pv = dtspv_ref[:]  # (B, Nx, Ny): per-member (dt/n_sub)/pv
+
+        Fx = fx_ref[:]  # (B, Nx+1, Ny)
+        Fy = fy_ref[:]  # (B, Nx, Ny+1)
+        q = q_ref[:]
+        XP = jnp.maximum(Fx, 0.0)
+        XN = jnp.minimum(Fx, 0.0)
+        YP = jnp.maximum(Fy, 0.0)
+        YN = jnp.minimum(Fy, 0.0)
+        fi = jnp.maximum(q, 0.0)
+        fp = jnp.minimum(q, 0.0)
+
+        def substep(i, s):
+            S = (s - swc) / (1.0 - swc - sor)
+            Mw = S * S / vw
+            Mo = (1.0 - S) * (1.0 - S) / vo
+            fw = Mw / (Mw + Mo)
+            fw_l = jnp.pad(fw, z + [(1, 0), (0, 0)])
+            fw_r = jnp.pad(fw, z + [(0, 1), (0, 0)])
+            Fw_x = XP * fw_l + XN * fw_r
+            fw_d = jnp.pad(fw, z + [(0, 0), (1, 0)])
+            fw_u = jnp.pad(fw, z + [(0, 0), (0, 1)])
+            Fw_y = YP * fw_d + YN * fw_u
+            div = (Fw_x[..., 1:, :] - Fw_x[..., :-1, :]) + (
+                Fw_y[..., :, 1:] - Fw_y[..., :, :-1]
+            )
+            s_new = jnp.clip(s + dts_pv * (fi + fp * fw - div), swc, 1.0 - sor)
+            # Members whose CFL count is done freeze (full-size float mask;
+            # no i1 carries / rank-1 vectors — see pcg_batched's Mosaic rules)
+            live = i.astype(nsub_f.dtype) < nsub_f
+            return jnp.where(live, s_new, s)
+
+        out_ref[:] = jax.lax.fori_loop(0, n_max, substep, s_ref[:])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("fluid_t", "block", "interpret"))
+def transport_substeps_pallas_batched(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t,
+                                      block=8, interpret=False):
+    """Blocked variant: leading member axis (N, ...) on every field input;
+    `dts_over_pv`, `n_sub` are (N,) per-member scalars. N % block == 0.
+    Each Mosaic program advances `block` members to the block's max substep
+    count with per-member freeze masks."""
+    vw, vo, swc, sor = (float(v) for v in fluid_t)
+    N, Nx, Ny = s.shape
+    assert N % block == 0, (N, block)
+    nblocks = N // block
+    n_sub = n_sub.astype(jnp.int32)
+    nmax = jnp.max(n_sub.reshape(nblocks, block), axis=1).reshape(nblocks, 1)
+    # Per-member scalars ride VMEM broadcast to field shape (Mosaic carries
+    # full-size values cleanly; (B,1,1) scalars hit layout-inference walls).
+    nsub_f = jnp.broadcast_to(n_sub.astype(s.dtype)[:, None, None], s.shape)
+    dts_f = jnp.broadcast_to(dts_over_pv.astype(s.dtype)[:, None, None], s.shape)
+
+    def bspec(x):
+        return pl.BlockSpec((block,) + x.shape[1:], lambda i: (i,) + (0,) * (x.ndim - 1))
+
+    return pl.pallas_call(
+        _make_kernel_batched(vw, vo, swc, sor, s.ndim),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            bspec(nsub_f),
+            bspec(dts_f),
+            bspec(s),
+            bspec(Fx),
+            bspec(Fy),
+            bspec(q),
+        ],
+        out_specs=bspec(s),
+        out_shape=jax.ShapeDtypeStruct(s.shape, s.dtype),
+        interpret=interpret,
+    )(nmax, nsub_f, dts_f, s, Fx, Fy, q)
+
+
+def transport_substeps_vmappable(s, Fx, Fy, q, dts_over_pv, n_sub, *, fluid_t,
+                                 block=8, interpret=False):
+    """Per-member transport whose `vmap` rule is the blocked kernel
+    (mirrors pressure_solve_vmappable)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(s, Fx, Fy, q, dts_over_pv, n_sub):
+        return transport_substeps_pallas(s, Fx, Fy, q, dts_over_pv, n_sub,
+                                         fluid_t, interpret=interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, s, Fx, Fy, q, dts_over_pv, n_sub):
+        args = [s, Fx, Fy, q, dts_over_pv, n_sub]
+        out = []
+        for x, batched in zip(args, in_batched):
+            out.append(x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape))
+        s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b = out
+        pad = (-axis_size) % block
+        if pad:
+            idx = jnp.arange(axis_size + pad) % axis_size
+            s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b = (
+                x[idx] for x in (s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b)
+            )
+        s_out = transport_substeps_pallas_batched(
+            s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b, fluid_t, block=block,
+            interpret=interpret,
+        )
+        return s_out[:axis_size], True
+
+    return run(s, Fx, Fy, q, dts_over_pv, n_sub)

@@ -134,3 +134,47 @@ def test_pcg_batched_matches_single(key):
         # batched solution solves each member's system to tolerance
         r = np.asarray(q - mv1(xb[b]))
         assert np.linalg.norm(r) / np.linalg.norm(np.asarray(q)) < 5e-3
+
+
+def test_transport_blocked_matches_per_member(key):
+    """Blocked transport kernel (per-member freeze masks, block max substeps)
+    == per-member kernel, including ragged substep counts and the
+    pad-to-block path of the custom_vmap rule."""
+    from historymatching_tpu.ops.transport_pallas import (
+        transport_substeps_pallas_batched,
+        transport_substeps_vmappable,
+    )
+
+    m = default_model(Nx=8, Ny=8)
+    g = m.grid
+    B = 8
+    ks = jax.random.split(key, 3)
+    s = jnp.clip(0.4 + 0.2 * jax.random.normal(ks[0], (B, *g.shape)), 0, 1).astype(jnp.float32)
+    Fx = (0.1 * jax.random.normal(ks[1], (B, g.Nx + 1, g.Ny))).astype(jnp.float32)
+    Fy = (0.1 * jax.random.normal(ks[2], (B, g.Nx, g.Ny + 1))).astype(jnp.float32)
+    q = jnp.zeros((B, *g.shape), jnp.float32)
+    dts_pv = jnp.linspace(0.005, 0.02, B).astype(jnp.float32)
+    n_sub = jnp.array([1, 3, 5, 2, 8, 1, 4, 7], jnp.int32)  # ragged
+    fl = m.fluid
+    fl_t = (fl.vw, fl.vo, fl.swc, fl.sor)
+
+    blocked = transport_substeps_pallas_batched(
+        s, Fx, Fy, q, dts_pv, n_sub, fl_t, block=4, interpret=True
+    )
+    for b in range(B):
+        single = transport_substeps_pallas(
+            s[b], Fx[b], Fy[b], q[b], dts_pv[b], n_sub[b], fl_t, interpret=True
+        )
+        assert np.allclose(np.asarray(blocked[b]), np.asarray(single), atol=1e-7), b
+
+    # custom_vmap rule with padding (B=6 not divisible by block=4)
+    vm = jax.vmap(
+        lambda s1, fx, fy, q1, d1, n1: transport_substeps_vmappable(
+            s1, fx, fy, q1, d1, n1, fluid_t=fl_t, block=4, interpret=True
+        )
+    )(s[:6], Fx[:6], Fy[:6], q[:6], dts_pv[:6], n_sub[:6])
+    for b in range(6):
+        single = transport_substeps_pallas(
+            s[b], Fx[b], Fy[b], q[b], dts_pv[b], n_sub[b], fl_t, interpret=True
+        )
+        assert np.allclose(np.asarray(vm[b]), np.asarray(single), atol=1e-7), b
