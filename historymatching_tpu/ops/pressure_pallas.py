@@ -104,8 +104,9 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_
     (block, Nx, Ny) sized, amortizing the small-op overhead that dominates
     per-member programs (measured ~1.4x faster than vmap of the per-member
     kernel on N=32 64x64 cold solves; equal-or-better accuracy). block=8 is
-    the VMEM sweet spot — block=16 exceeds the 16 MB scoped-vmem limit at
-    64x64. See `pcg_batched` for the Mosaic layout rules this obeys.
+    the measured sweet spot: 16/32 compile with the raised vmem limit but
+    run 7-20% slower (more VMEM pressure, no extra per-op parallelism).
+    See `pcg_batched` for the Mosaic layout rules this obeys.
     N must be divisible by `block`. Returns (p, iters, rel) with leading N.
     """
     N = q.shape[0]
@@ -155,6 +156,10 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_
             jax.ShapeDtypeStruct((N, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((N, 1, 1), q.dtype),
         ),
+        # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
+        # block>=16 (16.18 MB). Raised so larger blocks stay explorable,
+        # though block=8 measures fastest.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return p, it.reshape(N), rel.reshape(N)
