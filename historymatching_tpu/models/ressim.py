@@ -437,6 +437,12 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         s, p_prev = carry
         inj_t, prd_t = rates_t
         q = _source_field(model, inj_t, prd_t).astype(dtype)
+        # Warm start from the previous step's pressure. NOTE: linear
+        # extrapolation (2*p_t - p_{t-1}) was measured HARMFUL: it looks
+        # great on one seed (39s/1.0029 at patience 64) but flips another
+        # seed's posterior to non-improving at EVERY patience level
+        # (seed 2: RMSE 1.19 -> 1.27-1.29 vs 0.72 with the plain warm
+        # start). Do not reintroduce without multi-seed validation.
         p, Fx, Fy, iters, conv = pressure_step(
             model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas, patience_iters
         )
