@@ -35,7 +35,7 @@ from historymatching_tpu.da.localization import bump, pairwise_distances
 from historymatching_tpu.opt.enopt import EnGrad, Backtracker, GD
 from historymatching_tpu.opt.npv import NPVConfig, npv, accounting
 from historymatching_tpu import checkpoint, profiling, utils
-from historymatching_tpu.utils import center, cov, corr, gaussian_noise, rinv, vect
+from historymatching_tpu.utils import center, cov, corr, gaussian_noise, rinv, svals, vect
 from historymatching_tpu.parallel.mesh import ens_mesh, shard_ens
 from historymatching_tpu.parallel.runner import ensemble_simulate, forward_model
 
@@ -73,6 +73,7 @@ __all__ = [
     "corr",
     "gaussian_noise",
     "rinv",
+    "svals",
     "vect",
     "ens_mesh",
     "shard_ens",

@@ -4,8 +4,9 @@ Re-design of the reference's `tools/geostat.py` (C6 in SURVEY.md). Two
 samplers for the same law (Gaussian variogram / squared-exponential
 covariance):
 
-- `gaussian_fields_chol`: dense distance matrix + jittered Cholesky — exact,
-  O(n^3); matches the reference path (tools/geostat.py:86-99) for small grids.
+- `gaussian_fields_dense`: dense distance matrix + pure-GEMM symmetric
+  square-root factor — exact, O(n^3); replaces the reference's Cholesky path
+  (tools/geostat.py:86-99) for small grids / irregular point sets.
 - `gaussian_fields_fft`: circulant-embedding spectral sampler — O(n log n),
   the TPU-native path for 64x64+ grids (the reference notes its dense paths
   fail beyond ~50^2, tools/geostat.py:95-97). FFTs and the elementwise
@@ -59,12 +60,15 @@ def dist_euclid(X):
 
 def funm_psd(C, fun, rk=None, rtol=1e-8, sym_square=True):
     """Matrix function of a PSD matrix via (truncated) eigendecomposition
-    (reference tools/geostat.py:50-83). Host-oriented utility (eigh); the
-    production samplers below avoid factorizations entirely."""
+    (reference tools/geostat.py:50-83). Device-safe: the eigendecomposition
+    is the custom-call-free Jacobi routine from `ops.linalg` (eigenvalues
+    descending), so this runs under jit on LAPACK-less TPU backends."""
+    from historymatching_tpu.ops.linalg import eigh_psd
+
     C = jnp.asarray(C)
-    ews, V = jnp.linalg.eigh(C)
+    ews, V = eigh_psd(C)  # descending
     if rk:
-        keep = jnp.arange(ews.shape[0]) >= ews.shape[0] - rk
+        keep = jnp.arange(ews.shape[0]) < rk
         ews = jnp.where(keep, ews, 0.0)
     ews = jnp.where(ews > rtol * jnp.max(ews), ews, 0.0)
     few = jnp.where(ews > 0, fun(jnp.where(ews > 0, ews, 1.0)), 0.0)
@@ -75,21 +79,29 @@ def funm_psd(C, fun, rk=None, rtol=1e-8, sym_square=True):
 
 
 @partial(jax.jit, static_argnames=("N",))
-def gaussian_fields_chol(key, pts, N=1, r=0.2):
-    """Exact dense sampler: fields = randn(N, n) @ chol(Cov + 1e-10 I).
+def gaussian_fields_dense(key, pts, N=1, r=0.2):
+    """Exact dense sampler: fields = randn(N, n) @ F with F F' = Cov.
 
-    `pts` is a tuple of mesh/coordinate arrays (as `model.mesh`)."""
+    `pts` is a tuple of mesh/coordinate arrays (as `model.mesh`). The factor
+    is the *symmetric* PSD square root via Newton-Schulz (`ops.linalg.
+    sqrtm_psd`) rather than the reference's Cholesky (tools/geostat.py:97):
+    any factor with F F' = Cov yields the same Gaussian law, and the pure-GEMM
+    square root (a) runs on TPU backends without the Cholesky custom call and
+    (b) never breaks down on the near-singular Gaussian covariance (the
+    reference needs a 1e-10 jitter for exactly that reason).
+    """
+    from historymatching_tpu.ops.linalg import sqrtm_psd
+
     pts_ = vectorize(*pts)
     dists = dist_euclid(pts_)
     Cov = cov_gauss(dists, r)
-    n = Cov.shape[0]
-    # The Gaussian covariance is near-singular (fast eigenvalue decay); the
-    # jitter must sit above the dtype's Cholesky breakdown level. In float32
-    # a 1e-10 jitter is below eps and the factorization NaNs out.
-    jitter = 1e-10 if Cov.dtype == jnp.float64 else 1e-4
-    C12 = jnp.linalg.cholesky(Cov + jitter * jnp.eye(n, dtype=Cov.dtype))  # lower
-    Z = jax.random.normal(key, (N, n), dtype=Cov.dtype)
-    return Z @ C12.T
+    F = sqrtm_psd(Cov)
+    Z = jax.random.normal(key, (N, Cov.shape[0]), dtype=Cov.dtype)
+    return Z @ F  # symmetric factor: F == F.T
+
+
+# Backwards-compatible name (the reference path it replaces used Cholesky).
+gaussian_fields_chol = gaussian_fields_dense
 
 
 def _embedding_spectrum(Nx, Ny, hx, hy, r):
@@ -154,15 +166,14 @@ def gaussian_fields(pts, N=1, r=0.2, key=None, grid=None):
     Drop-in analogue of the reference `gaussian_fields(pts, N, r)`
     (tools/geostat.py:86-99) with an explicit PRNG `key`. If `grid` is given
     the FFT (circulant-embedding) sampler is used — exact on the embedded
-    torus, O(n log n), and factorization-free (the dense Cholesky of the
-    near-singular Gaussian covariance is fragile in float32). The dense
-    Cholesky path serves irregular point sets.
+    torus, O(n log n), and factorization-free. The dense path serves
+    irregular point sets.
     """
     if key is None:
         raise ValueError("gaussian_fields requires an explicit jax.random key")
     if grid is not None:
         return gaussian_fields_fft(key, grid, N=N, r=r)
-    return gaussian_fields_chol(key, pts, N=N, r=r)
+    return gaussian_fields_dense(key, pts, N=N, r=r)
 
 
 def sample_prior_perm(key, model, N, r=0.8):

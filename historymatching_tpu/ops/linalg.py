@@ -125,6 +125,139 @@ def sigma_max(A, iters=24, key=None):
     return jnp.sqrt(jnp.maximum(jnp.sum(v * (A @ (A.T @ v))), 0.0))
 
 
+def _round_robin_rounds(n):
+    """Round-robin tournament schedule: (n-1, n//2, 2) disjoint index pairs
+    per round covering all n(n-1)/2 pairs once (n even). Host-side, static."""
+    import numpy as np
+
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        rounds.append([(players[i], players[n - 1 - i]) for i in range(n // 2)])
+        players = [players[0], players[-1]] + players[1:-1]
+    return np.asarray(rounds)
+
+
+@_full_precision
+def svd(A, sweeps=16):
+    """Thin SVD by one-sided (Hestenes) Jacobi — no LAPACK custom call.
+
+    Orthogonalizes the columns of A by plane rotations, applied to n//2
+    *disjoint* column pairs at once (round-robin ordering), so each round is
+    a batched gather / 2x2 rotation / scatter — VPU-friendly, jit/vmap-safe,
+    and available on TPU backends without SVD custom calls. Works directly on
+    A (no Gram squaring), so accuracy is ~eps * cond(A), like LAPACK.
+
+    Returns (U, s, VT) with s descending, shapes as
+    `jnp.linalg.svd(A, full_matrices=False)`. Cost: (n-1) * sweeps rounds of
+    O(m n) work — meant for the small/skinny matrices of the analysis layer
+    (ensembles, weight matrices), not for huge square inputs.
+    """
+    A = jnp.asarray(A)
+    m, n = A.shape
+    k = min(m, n)
+    # Pad the column count to even for the round-robin pairing.
+    n_p = n + (n % 2)
+    if n_p != n:
+        A = jnp.pad(A, ((0, 0), (0, 1)))
+    rounds = jnp.asarray(_round_robin_rounds(n_p))  # (n_p-1, n_p//2, 2)
+    V = jnp.eye(n_p, dtype=A.dtype)
+    eps = jnp.finfo(A.dtype).eps
+
+    def one_round(carry, pq):
+        A, V = carry
+        p, q = pq[:, 0], pq[:, 1]
+        Ap, Aq = A[:, p], A[:, q]
+        alpha = jnp.sum(Ap * Ap, axis=0)
+        beta = jnp.sum(Aq * Aq, axis=0)
+        gamma = jnp.sum(Ap * Aq, axis=0)
+        # Hestenes rotation zeroing the (p,q) column inner product.
+        denom = jnp.where(gamma == 0, 1.0, 2.0 * gamma)
+        tau = (beta - alpha) / denom
+        # sign(0) = 0 would skip the needed 45-degree rotation when the two
+        # column norms are equal; treat tau = 0 as positive.
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        # Skip already-orthogonal pairs (also avoids 0/0 for zero columns).
+        tiny = jnp.abs(gamma) <= eps * jnp.sqrt(alpha * beta)
+        t = jnp.where(tiny, 0.0, t)
+        c = lax.rsqrt(1.0 + t * t)
+        s = t * c
+        Ap_new = c * Ap - s * Aq
+        Aq_new = s * Ap + c * Aq
+        A = A.at[:, p].set(Ap_new).at[:, q].set(Aq_new)
+        Vp, Vq = V[:, p], V[:, q]
+        V = V.at[:, p].set(c * Vp - s * Vq).at[:, q].set(s * Vp + c * Vq)
+        return (A, V), None
+
+    def one_sweep(_, AV):
+        (A, V), _ = lax.scan(one_round, AV, rounds)
+        return (A, V)
+
+    A, V = lax.fori_loop(0, sweeps, one_sweep, (A, V))
+    s_all = jnp.sqrt(jnp.sum(A * A, axis=0))
+    order = jnp.argsort(-s_all)[:k]
+    s = s_all[order]
+    safe = jnp.where(s > 0, s, 1.0)
+    U = A[:, order] / safe
+    U = jnp.where(s > 0, U, 0.0)
+    return U, s, V[:n, order].T
+
+
+def eigh_psd(A, sweeps=16):
+    """Eigendecomposition of a symmetric PSD matrix via the one-sided Jacobi
+    SVD (for PSD A, A = V diag(s) V'). Returns (eigvals desc, V)."""
+    _, s, VT = svd(A, sweeps=sweeps)
+    return s, VT.T
+
+
+@_full_precision
+def sqrtm_psd(A, iters=60):
+    """Symmetric PSD matrix square root by the coupled Newton-Schulz
+    iteration (Denman-Beavers variant) — pure GEMMs, no eigh/cholesky.
+
+    For *singular* A the coupled iterate Z tracks A^{-1/2}, which is
+    unbounded in the null directions: the iteration converges and THEN blows
+    up (measured: residual 1e-10 at 30 iterations, 1e24 at 50 on the
+    256x256 geostat covariance). So the loop tracks the residual
+    ||Y@Y - A||_max each step, keeps the best iterate, and exits early once
+    the residual starts growing — a `lax.while_loop` with static bound
+    `iters`, one extra GEMM per step.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    As = _sym(A)
+    lam = jnp.maximum(jnp.max(jnp.sum(jnp.abs(As), axis=1)), jnp.finfo(A.dtype).tiny)
+    As = As / lam
+    Y = As
+    Z = eye
+
+    def resid(Y):
+        return jnp.max(jnp.abs(Y @ Y - As))
+
+    # state: Y, Z, best_Y, best_res, cur_res, k
+    state = (Y, Z, Y, resid(Y), resid(Y), 0)
+
+    def cond(s):
+        _, _, _, best, cur, k = s
+        return (k < iters) & (cur <= 4.0 * best)
+
+    def body(s):
+        Y, Z, bY, best, _, k = s
+        T = 0.5 * (3.0 * eye - Z @ Y)
+        Y = Y @ T
+        Z = T @ Z
+        r = resid(Y)
+        better = r < best
+        bY = jnp.where(better, Y, bY)
+        best = jnp.where(better, r, best)
+        return (Y, Z, bY, best, r, k + 1)
+
+    _, _, bY, _, _, _ = lax.while_loop(cond, body, state)
+    return _sym(bY) * jnp.sqrt(lam)
+
+
 @_full_precision
 def rinv_tikh(A, reg, sigma_iters=24, ns_iters=40):
     """Tikhonov-regularized right pseudo-inverse, SVD-free.

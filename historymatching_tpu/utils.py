@@ -66,9 +66,14 @@ def rinv(A, reg, tikh=True, nMax=None):
 
     Reproduces `sla.pinv(..., rtol=reg)` when `tikh=False`; Tikhonov spectrum
     `s/(s^2 + (reg*s_max)^2)` when `tikh=True` (reference tools/utils.py:70-90).
+
+    The SVD is the custom-call-free one-sided Jacobi from `ops.linalg` — runs
+    under jit on TPU backends without LAPACK (`jnp.linalg.svd` raises there).
     """
+    from historymatching_tpu.ops.linalg import svd as _svd
+
     A = jnp.asarray(A)
-    U, s, VT = jnp.linalg.svd(A, full_matrices=False)
+    U, s, VT = _svd(A)
     reg = reg * s[0]
     if tikh:
         s1 = s / (s**2 + reg**2)
@@ -78,6 +83,19 @@ def rinv(A, reg, tikh=True, nMax=None):
         keep = jnp.arange(s.shape[0]) < nMax
         s1 = jnp.where(keep, s1, 0.0)
     return (VT.T * s1) @ U.T
+
+
+def svals(E, center_first=True):
+    """Singular spectrum of an (anomaly) ensemble — the prior-spectrum
+    diagnostic (reference HistoryMatch.py:332-333 uses `sla.svd(..., compute_uv
+    =False)`). Device-safe (Jacobi SVD, no LAPACK custom call)."""
+    from historymatching_tpu.ops.linalg import svd as _svd
+
+    E = jnp.asarray(E)
+    if center_first:
+        E, _ = center(E)
+    _, s, _ = _svd(E)
+    return s
 
 
 def mnorm(x, axis=0):
