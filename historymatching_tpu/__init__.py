@@ -26,6 +26,7 @@ from historymatching_tpu.da.update import (
     ens_update0_loc_domains,
     ies,
     iles,
+    iles_domains,
     es_mda,
     mda_alphas,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "ens_update0_loc_domains",
     "ies",
     "iles",
+    "iles_domains",
     "es_mda",
     "mda_alphas",
     "geostat",

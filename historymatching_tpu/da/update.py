@@ -277,6 +277,52 @@ def iles(prior_ens, obs_ens, obs, perturbs, decorr, taper, xStep=1.0, iMax=4):
     return _recompose(x0, X0, Ws), stats
 
 
+def _recompose_domains(x0, X0, Ws, domains):
+    """Domain-blocked recompose: E[:, domains[d]] = x0[domains[d]]
+    + Ws[d] @ X0[:, domains[d]] (domains partition the cells exactly once)."""
+    Xd = X0[:, domains]  # (N, nDom, k)
+    Ed = x0[domains] + jnp.einsum("dab,bdk->adk", Ws, Xd)  # (N, nDom, k)
+    N, M = X0.shape
+    return jnp.zeros((N, M), X0.dtype).at[:, domains.reshape(-1)].set(
+        Ed.reshape(N, -1)
+    )
+
+
+def iles_domains(prior_ens, obs_ens, obs, perturbs, decorr, taper_dom, domains,
+                 xStep=1.0, iMax=4):
+    """Domain-batched localized iterative ensemble smoother.
+
+    The per-cell ILES (above) materializes one N x N weight matrix per state
+    element — (M, N, N) memory, impossible at the flagship scale (64x64 grid,
+    N=1000: 16 TB). Cells within a domain share one W (piecewise-constant
+    localization, the LES analogue of `ens_update0_loc_domains`), so the
+    state is (nDom, N, N) — e.g. 256 x 1000 x 1000 ~ 1 GB — and each GN step
+    is nDom batched MXU solves instead of M.
+
+    With singleton domains (domains = arange(M)[:, None], taper_dom = taper)
+    this reproduces `iles` exactly (tested). Same return contract as `iles`.
+    """
+    prior_ens = jnp.asarray(prior_ens)
+    N = prior_ens.shape[0]
+    domains = jnp.asarray(domains, jnp.int32)
+    X0, x0 = center(prior_ens)
+    nDom = domains.shape[0]
+    Ws = jnp.broadcast_to(jnp.eye(N, dtype=prior_ens.dtype), (nDom, N, N))
+    weights = _taper_weights(taper_dom)
+    inner = jax.jit(_iles_inner)
+    recompose = jax.jit(_recompose_domains)
+    stats = {"E": [], "Eo": []}
+    for _ in range(iMax):
+        E = recompose(x0, X0, Ws, domains)
+        Eo = jnp.asarray(obs_ens(E))
+        stats["E"].append(E)
+        stats["Eo"].append(Eo)
+        innov = (jnp.asarray(obs) - Eo - perturbs) @ decorr
+        Ws = inner(Ws, Eo @ decorr, innov, xStep, weights)
+    stats = {k: jnp.stack(v) for k, v in stats.items()}
+    return recompose(x0, X0, Ws, domains), stats
+
+
 # -- ES-MDA --------------------------------------------------------------------
 
 

@@ -22,6 +22,7 @@ from historymatching_tpu.da.update import (
     es_mda,
     ies,
     iles,
+    iles_domains,
     mda_alphas,
 )
 from historymatching_tpu.utils import gaussian_noise
@@ -141,6 +142,46 @@ def test_iles_linear_reproduces_les(gg):
     les_post = ens_update0_loc(**gg, obs_ens=gg["prior_ens"], taper=jnp.eye(D))
     iles_post, _ = iles(**gg, obs_ens=lambda x: x, taper=jnp.eye(D), xStep=1.0, iMax=4)
     assert np.allclose(np.asarray(iles_post), np.asarray(les_post), atol=1e-7)
+
+
+def test_iles_domains_singleton_equals_iles(gg):
+    """iles_domains with one cell per domain must reproduce per-cell iles."""
+    domains = jnp.arange(D)[:, None]
+    taper = jnp.eye(D)
+    per_cell, _ = iles(**gg, obs_ens=lambda x: x, taper=taper, xStep=0.7, iMax=3)
+    batched, _ = iles_domains(
+        **gg, obs_ens=lambda x: x, taper_dom=taper, domains=domains,
+        xStep=0.7, iMax=3,
+    )
+    assert np.allclose(np.asarray(batched), np.asarray(per_cell), atol=1e-9)
+
+
+def test_iles_domains_grouped_equals_expanded_taper(key):
+    """The local GN step depends only on the taper row (not the cell), so
+    grouping equal-taper cells into a domain is exactly per-cell ILES with
+    the expanded taper."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    N, M, p = 20, 6, 5
+    nDom, kcell = 3, 2
+    prior = jax.random.normal(k1, (N, M))
+    H = 0.4 * jax.random.normal(k2, (M, p))
+    obs = jax.random.normal(k3, (p,))
+    perturbs = jax.random.normal(k4, (N, p))
+    decorr = 0.8 * jnp.eye(p)
+    taper_dom = jnp.abs(jnp.sin(jnp.arange(nDom)[:, None] + jnp.arange(p) * 0.7))
+    domains = jnp.arange(M).reshape(nDom, kcell)
+    taper_full = jnp.repeat(taper_dom, kcell, axis=0)  # cells in domain order
+
+    per_cell, _ = iles(
+        prior, lambda E: E @ H, obs, perturbs, decorr, taper_full,
+        xStep=0.6, iMax=3,
+    )
+    batched, stats = iles_domains(
+        prior, lambda E: E @ H, obs, perturbs, decorr, taper_dom, domains,
+        xStep=0.6, iMax=3,
+    )
+    assert np.allclose(np.asarray(batched), np.asarray(per_cell), atol=1e-9)
+    assert stats["E"].shape == (3, N, M)
 
 
 def test_es_mda_single_alpha_equals_es(key):
