@@ -34,7 +34,12 @@ from jax import lax
 
 from historymatching_tpu.grid import Grid2D
 from historymatching_tpu.ops.cg import pcg
-from historymatching_tpu.ops.multigrid import build_hierarchy, n_levels, vcycle_solver
+from historymatching_tpu.ops.multigrid import (
+    build_hierarchy,
+    build_hierarchy_5pt,
+    n_levels,
+    vcycle_solver,
+)
 from historymatching_tpu.ops.stencil import (
     face_fluxes,
     stencil_diag_nopin,
@@ -267,7 +272,7 @@ def _source_field(model: ResSim, inj_t, prd_t):
 
 
 def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg",
-                  use_pallas=False, patience_iters=96):
+                  use_pallas=False, patience_iters=96, scale_system=True):
     """TPFA pressure solve for saturation field `s` (Nx, Ny) and source `q`.
     Returns (p, Fx, Fy, iters, accepted). `accepted` compares the achieved
     true relative residual against `tol_accept` (defaults to `tol`) — float32
@@ -275,7 +280,19 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
 
     `precond`: "mg" (multigrid V-cycle; near grid-independent CG counts and a
     much lower float32 floor) or "jacobi". Falls back to Jacobi when the grid
-    has no coarsenable hierarchy."""
+    has no coarsenable hierarchy.
+
+    `scale_system` (default): solve the symmetrically Jacobi-scaled system
+    D^-1/2 A D^-1/2 y = D^-1/2 q, p = D^-1/2 y. The scaled operator has unit
+    diagonal, so the f32 residual computation no longer sums across the
+    permeability contrast's dynamic range — measured to rescue members whose
+    unscaled V-cycle-PCG stalls at relative residual ~1 (!) and to bound the
+    worst-case floor (max 3.5e-2 vs 1.0 over a prior sample at 64x64), while
+    costing nothing (a few elementwise ops). It also makes the Pallas and XLA
+    paths numerically identical by construction — the unscaled XLA path's
+    compensated (double-single) residual is unnecessary here, and was 7-40x
+    too slow inside Mosaic kernels, which made the two paths drift apart
+    (round-1 posterior-shift incident)."""
     g = model.grid
     Mw, Mo = relperm(s, model.fluid)
     mob = Mw + Mo
@@ -285,9 +302,32 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
     diag_np = stencil_diag_nopin(TX, TY)
     pin = jnp.mean(diag_np)
     diag = diag_np.at[0, 0].add(pin)
-    matvec = lambda p: stencil_matvec(TX, TY, diag, p)  # noqa: E731
+
+    if scale_system:
+        sd = lax.rsqrt(diag)
+        TXo, TYo = TX, TY  # original operator: fluxes use these
+        TX = TX * sd[:-1, :] * sd[1:, :]
+        TY = TY * sd[:, :-1] * sd[:, 1:]
+        diag_solve = jnp.ones_like(diag)
+        q_solve = q * sd
+        p0_solve = p0 * (diag * sd)  # = p0 * sqrt(diag)
+        unscale = lambda y: y * sd  # noqa: E731
+        # Stop on the PHYSICAL (unscaled) residual norm: w * r_scaled is the
+        # original system's flux imbalance (r_orig = D^1/2 r_scaled), the
+        # quantity the transport step actually feels.
+        mweight = diag * sd  # = sqrt(diag)
+    else:
+        TXo, TYo = TX, TY
+        diag_solve, q_solve, p0_solve = diag, q, p0
+        unscale = lambda y: y  # noqa: E731
+        mweight = None
+
+    matvec = lambda p: stencil_matvec(TX, TY, diag_solve, p)  # noqa: E731
     if precond == "mg" and n_levels(g.Nx, g.Ny) >= 2:
-        hierarchy = build_hierarchy(TX, TY, pin)
+        if scale_system:
+            hierarchy = build_hierarchy_5pt(TX, TY, diag_solve)
+        else:
+            hierarchy = build_hierarchy(TX, TY, pin)
         if use_pallas:
             from historymatching_tpu.ops.multigrid import coarse_inverse
             from historymatching_tpu.ops.pressure_pallas import pressure_solve_vmappable
@@ -298,29 +338,34 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
             # custom_vmap: per-member fused kernel when unbatched; under the
             # ensemble vmap the rule dispatches the block-batched kernel
             # (~1.4x faster — ops sized (block, Nx, Ny) amortize dispatch).
-            p, iters, rel_res = pressure_solve_vmappable(
-                hier_flat, Ainv3, q, p0, tol=tol, maxiter=maxiter,
+            w = jnp.ones_like(diag) if mweight is None else mweight
+            y, iters, rel_res = pressure_solve_vmappable(
+                hier_flat, Ainv3, q_solve, p0_solve, w, tol=tol, maxiter=maxiter,
                 patience_iters=patience_iters,
             )
-            Fx, Fy = face_fluxes(TX, TY, p)
+            p = unscale(y)
+            Fx, Fy = face_fluxes(TXo, TYo, p)
             accepted = rel_res <= (tol if tol_accept is None else tol_accept)
             return p, Fx, Fy, iters, accepted
         Minv = vcycle_solver(hierarchy)
         restart_every = 8
     else:
-        Minv = 1.0 / diag
+        Minv = 1.0 / diag_solve
         restart_every = 64
-    # Compensated (double-single) residual in the replacement step: measured
-    # to lower the median float32 cold-solve floor ~1.5x (5.1e-3 -> 3.3e-3 on
-    # the 64x64 perm_transf suite) at a few percent extra cost. The p90 tail
-    # is preconditioner-limited, not residual-limited — unaffected.
-    residual_fn = lambda x: stencil_residual_ds(TX, TY, diag, x, q)  # noqa: E731
-    p, iters, rel_res = pcg(
-        matvec, q, x0=p0, Minv=Minv, tol=tol, maxiter=maxiter,
-        restart_every=restart_every, patience_iters=patience_iters,
-        residual_fn=residual_fn,
+    # Unscaled fallback only: compensated (double-single) replacement residual
+    # (measured ~1.5x lower f32 floor there). The scaled system doesn't need
+    # it — its residual sums have no contrast-driven cancellation.
+    residual_fn = (
+        None if scale_system
+        else (lambda x: stencil_residual_ds(TX, TY, diag_solve, x, q_solve))
     )
-    Fx, Fy = face_fluxes(TX, TY, p)
+    y, iters, rel_res = pcg(
+        matvec, q_solve, x0=p0_solve, Minv=Minv, tol=tol, maxiter=maxiter,
+        restart_every=restart_every, patience_iters=patience_iters,
+        residual_fn=residual_fn, metric_weight=mweight,
+    )
+    p = unscale(y)
+    Fx, Fy = face_fluxes(TXo, TYo, p)
     accepted = rel_res <= (tol if tol_accept is None else tol_accept)
     return p, Fx, Fy, iters, accepted
 
@@ -387,11 +432,12 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
     jax.jit,
     static_argnames=(
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
-        "patience_iters",
+        "patience_iters", "scale_system",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
-             max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96):
+             max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96,
+             scale_system=True):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -444,7 +490,8 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         # (seed 2: RMSE 1.19 -> 1.27-1.29 vs 0.72 with the plain warm
         # start). Do not reintroduce without multi-seed validation.
         p, Fx, Fy, iters, conv = pressure_step(
-            model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas, patience_iters
+            model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas,
+            patience_iters, scale_system
         )
         s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps, use_pallas)
         return (s_new, p), (s_new.reshape(-1), iters, conv, n_sub)

@@ -30,7 +30,7 @@ def _vdot(a, b):
 
 
 def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
-        patience_iters=96, residual_fn=None):
+        patience_iters=96, residual_fn=None, metric_weight=None):
     """Solve A x = b for SPD A via restarted preconditioned CG.
 
     Parameters
@@ -42,9 +42,15 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
     tol : relative tolerance on the *true* residual, ||b - A x|| <= tol ||b||.
     maxiter : hard cap on total CG iterations (static).
     restart_every : residual-replacement window (static).
+    metric_weight : optional elementwise weight w — convergence/stagnation/
+        best-iterate tracking use ||w * r|| instead of ||r|| (and the
+        tolerance is relative to ||w * b||). The CG direction algebra is
+        untouched. Used by the symmetrically-scaled pressure solve to iterate
+        on the well-conditioned scaled system while stopping on the
+        *physical* (unscaled) flux-imbalance norm: w = sqrt(diag(A_orig)).
 
     Returns (x, iters, rel_res) — `rel_res` is the achieved true relative
-    residual ||b - A x|| / ||b|| of the best iterate; callers judge
+    residual ||w (b - A x)|| / ||w b|| of the best iterate; callers judge
     convergence/validity against their own threshold (float32 has an
     accuracy floor set by the operator's contrast).
 
@@ -59,8 +65,12 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
         Minv_ = Minv  # e.g. a multigrid V-cycle (must be a fixed SPD operator)
     else:
         Minv_ = lambda r: Minv * r
+    if metric_weight is None:
+        wdot = _vdot
+    else:
+        wdot = lambda u, v: _vdot(metric_weight * u, metric_weight * v)
 
-    bb = _vdot(b, b)
+    bb = wdot(b, b)
     # Guard an all-zero RHS (legal: zero rates).
     tol2 = (tol * tol) * jnp.maximum(bb, jnp.finfo(dtype).tiny)
 
@@ -94,9 +104,9 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
             rz_new = jnp.where(live, _vdot(r, z), rz)
             beta = jnp.where(live, beta_mask * rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
             p = jnp.where(live, z + beta * p, p)
-            return (x, r, p, rz_new, jnp.where(live, _vdot(r, r), rr))
+            return (x, r, p, rz_new, jnp.where(live, wdot(r, r), rr))
 
-        st = (x, r, p, rz, _vdot(r, r))
+        st = (x, r, p, rz, wdot(r, r))
         st = lax.fori_loop(0, restart_every, body, st)
         return st[0], st[2]  # x, p
 
@@ -121,7 +131,7 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
         p_start = jnp.where(use_sd, z, p)
         x_new, p_new = cg_steps(x, r, p_start, _vdot(r, z), beta_mask)
         r_new = resid(x_new)
-        rr_new = _vdot(r_new, r_new)
+        rr_new = wdot(r_new, r_new)
         # Divergence guard only — the residual 2-norm is NOT monotone in CG,
         # so moderate growth is legitimate; a >100x jump (or non-finite) means
         # f32 drift destroyed the direction. Revert to the best iterate and
@@ -136,7 +146,7 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
         n_bad = jnp.where(better, 0, n_bad + 1)
         return (x, p_new, blown, x_best, rr_best, n_bad, k + restart_every)
 
-    rr0 = _vdot(r0, r0)
+    rr0 = wdot(r0, r0)
     # Flags/counters must share the system's varying-manual-axes type too.
     vfalse = rr0 != rr0  # False, with rr0's vma
     vzero = (rr0 * 0).astype(jnp.int32)
@@ -148,7 +158,7 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
 
 
 def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=8,
-                patience_iters=96, residual_fn=None):
+                patience_iters=96, residual_fn=None, metric_weight=None):
     """Hand-batched restarted PCG: `b`, `x0` are (B, ...) member batches.
 
     Same algorithm as `pcg` with per-member masking, but with a *scalar*
@@ -191,13 +201,18 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
             s = jnp.sum(s, axis=ax, keepdims=True)
         return jnp.broadcast_to(s, b.shape)
 
+    if metric_weight is None:
+        wdot = vdot
+    else:
+        wdot = lambda u, v: vdot(metric_weight * u, metric_weight * v)  # noqa: E731
+
     def scalarize(field_bool):
         """Any-member-true over a full-size boolean field -> true scalar."""
         f = jnp.where(field_bool, 1.0, 0.0).astype(dtype)
         f2 = jnp.sum(f, axis=0)  # rank-3 -> rank-2 (never rank-1)
         return jnp.sum(f2) > 0
 
-    bb = vdot(b, b)
+    bb = wdot(b, b)
     tol2 = (tol * tol) * jnp.maximum(bb, jnp.finfo(dtype).tiny)
     resid = (lambda x: b - matvec(x)) if residual_fn is None else residual_fn
 
@@ -218,9 +233,9 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
             rz_new = jnp.where(live, vdot(r, z), rz)
             beta = jnp.where(live, beta_mask * rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
             p = jnp.where(live, z + beta * p, p)
-            return (x, r, p, rz_new, jnp.where(live, vdot(r, r), rr))
+            return (x, r, p, rz_new, jnp.where(live, wdot(r, r), rr))
 
-        st = (x, r, p, rz, vdot(r, r))
+        st = (x, r, p, rz, wdot(r, r))
         st = lax.fori_loop(0, restart_every, body, st)
         return st[0], st[2]
 
@@ -241,7 +256,7 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
         p_start = jnp.where(sd, z, p)
         x_new, p_new = cg_steps(x, r, p_start, vdot(r, z), beta_mask)
         r_new = resid(x_new)
-        rr_new = vdot(r_new, r_new)
+        rr_new = wdot(r_new, r_new)
         finite = jnp.isfinite(rr_new)
         blown = (~finite) | (rr_new > 100.0 * jnp.maximum(rr_best, tol2))
         better = finite & (rr_new < rr_best)
@@ -252,7 +267,7 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
         blown_f = jnp.where(blown, 1.0, 0.0).astype(dtype)
         return (x, p_new, blown_f, x_best, rr_best, n_bad, k + restart_every)
 
-    rr0 = vdot(r0, r0)
+    rr0 = wdot(r0, r0)
     state0 = (
         x0,
         Minv_(r0),

