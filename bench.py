@@ -3,10 +3,23 @@
 
 The BASELINE.md north-star workload: N=1000 members, 64x64 grid, nTime=40
 steps, 4-step ES-MDA, on TPU. Prints ONE JSON line:
-  {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <x>}
+  {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": <x>, ...}
 
 vs_baseline is (target 10 s) / measured — >1 means faster than the target.
-Run with BENCH_SMALL=1 for a quick smoke configuration.
+Extra fields:
+  - local_*: the same workload with domain-batched distance localization
+    (radius 1.2 bump taper — the BASELINE config list's "ES-MDA with
+    distance-based localization"); skip with BENCH_LOCAL=0.
+  - parity_*: multi-seed posterior-quality stats vs the committed CPU-f64
+    reference (parity/cpu_f64_refs.json), refreshed by scripts/parity.py.
+
+Env knobs: BENCH_SMALL=1 (quick smoke config), BENCH_SEED, BENCH_PATIENCE,
+BENCH_LOCAL=0/1.
+
+The case construction is shared with scripts/parity.py: `build_case` samples
+all stochastic inputs (truth field, prior fields, obs noise) in float32
+regardless of the enabled x64 mode, so a CPU-f64 reference run and a TPU-f32
+run see bit-identical inputs and differ only in the pipeline under test.
 """
 
 import json
@@ -19,95 +32,186 @@ import numpy as np
 
 SMALL = os.environ.get("BENCH_SMALL") == "1"
 
-NX = NY = 32 if SMALL else 64
-N_ENS = 64 if SMALL else 1000
-NTIME = 40  # full horizon in both configs: water must break through to the
+NX = NY = int(os.environ.get("BENCH_NX", 32 if SMALL else 64))
+N_ENS = int(os.environ.get("BENCH_N", 64 if SMALL else 1000))
+NTIME = int(os.environ.get("BENCH_NTIME", 40))
+# full horizon by default in both configs: water must break through to the
 # producers, or the obs carry no signal and the update is a no-op
 DT = 0.025
 MDA_STEPS = 4
 TARGET_S = 10.0
+PARITY_REFS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "parity", "cpu_f64_refs.json")
 
 
-def main():
-    from historymatching_tpu.da.geostat import gaussian_fields_fft
-    from historymatching_tpu.da.update import es_mda, mda_alphas
+def build_model(Nx, Ny):
+    """The flagship case: 2x1 domain, centre injector, 4 corner producers
+    (reference HistoryMatch.py:97,177-190 geometry at bench scale)."""
     from historymatching_tpu.models.ressim import ResSim
-    from historymatching_tpu.parallel.runner import forward_model, prod_inds
-    from historymatching_tpu.utils import gaussian_noise, temporal_R
 
-    key = jax.random.PRNGKey(int(os.environ.get("BENCH_SEED", "1")))
     Lx, Ly = 2.0, 1.0
     near01 = np.array([0.12, 0.87])
     prd_xy = [[x, y] for y in Ly * near01 for x in Lx * near01]
-    model = ResSim.build(
-        Nx=NX, Ny=NY, Lx=Lx, Ly=Ly,
+    return ResSim.build(
+        Nx=Nx, Ny=Ny, Lx=Lx, Ly=Ly,
         inj_xy=[[Lx / 2, Ly / 2]],
         prd_xy=prd_xy,
         inj_rates=[[1.0]],
         prd_rates=np.ones((4, 1)) / 4,
     )
 
+
+def build_case(seed, N, Nx=64, Ny=64, nTime=40):
+    """Sample the stochastic inputs of the bench case, ALWAYS in float32
+    (pipeline-dtype-independent pairing; see module docstring).
+
+    Returns dict(model, truth, prior, noise, R12, key_mda); obs are derived
+    by the runner from its own truth simulation (the truth sim is part of
+    the pipeline under test)."""
+    from historymatching_tpu.da.geostat import gaussian_fields_fft
+    from historymatching_tpu.utils import temporal_R
+
+    model = build_model(Nx, Ny)
+    key = jax.random.PRNGKey(seed)
     k_truth, k_prior, k_noise, k_mda = jax.random.split(key, 4)
-    truth = gaussian_fields_fft(k_truth, model.grid, N=1, r=0.8)[0]
-    prior = gaussian_fields_fft(k_prior, model.grid, N=N_ENS, r=0.8)
+    f32 = jnp.float32
+    with jax.default_matmul_precision("highest"):
+        truth = gaussian_fields_fft(k_truth, model.grid, N=1, r=0.8)[0].astype(f32)
+        prior = gaussian_fields_fft(k_prior, model.grid, N=N, r=0.8).astype(f32)
+    nPrd = model.nPrd
+    _, R12 = temporal_R(nTime, nPrd)
+    R12 = jnp.asarray(R12, f32)
+    noise = (R12 @ jax.random.normal(k_noise, (nTime * nPrd,), dtype=f32))
+    return dict(model=model, truth=truth, prior=prior, noise=noise, R12=R12,
+                key_mda=k_mda, nTime=nTime)
 
-    # Truth + synthetic obs
-    _, prod_truth = forward_model(model, truth[None], dt=DT, nTime=NTIME)
 
-    nPrd = prod_truth.shape[-1]
-    _, R12 = temporal_R(NTIME, nPrd)
-    R12 = jnp.asarray(R12, dtype=prior.dtype)
-    noise = (R12 @ jax.random.normal(k_noise, (NTIME * nPrd,), dtype=prior.dtype))
+def make_workload(case, dtype, mda_steps=MDA_STEPS, loc=False, mesh=None,
+                  **sim_kwargs):
+    """Build (workload_fn, obs, prior) for a case in the given compute dtype.
+
+    workload_fn(prior, key) -> posterior runs truth-obs-free (obs captured),
+    so it can be timed as one unit. The truth simulation + obs synthesis run
+    here (untimed; they are part of the pipeline, in the same dtype)."""
+    from historymatching_tpu.da.update import es_mda, mda_alphas
+    from historymatching_tpu.parallel.runner import forward_model
+
+    model = case["model"]
+    nTime = case["nTime"]
+    truth = case["truth"].astype(dtype)
+    prior = case["prior"].astype(dtype)
+    R12 = case["R12"].astype(dtype)
+    noise = case["noise"].astype(dtype)
+
+    _, prod_truth = forward_model(model, truth[None], dt=DT, nTime=nTime,
+                                  keep_wsats=False, mesh=mesh, **sim_kwargs)
     obs = jnp.clip(prod_truth[0].reshape(-1) + noise, 0, 1)
 
-    patience = int(os.environ.get("BENCH_PATIENCE", "128"))
-    # Solver accuracy drives posterior quality: measured (N=1000, 64x64)
-    # patience  96: 58.4s (7.3s proj. v5e-8), posterior RMSE 1.0327
-    # patience 128: 70.5s (8.8s proj.),       RMSE 1.0106  <- default
-    # patience 160: 82.4s (10.3s proj.),      RMSE 1.0163
-    # patience 192: 94.2s (11.8s proj.),      RMSE 1.0102
-    # patience 256: 109.7s (13.7s proj.),     RMSE 1.0038
-    # 128 beats the <10s v5e-8 projection with near-best posterior quality.
-
     def fwd_obs(E):
-        _, prods = forward_model(model, E, dt=DT, nTime=NTIME, keep_wsats=False,
-                                 patience_iters=patience)
+        _, prods = forward_model(model, E, dt=DT, nTime=nTime, keep_wsats=False,
+                                 mesh=mesh, **sim_kwargs)
         return prods.reshape(prods.shape[0], -1)
 
     loc_kw = {}
-    if os.environ.get("BENCH_LOCAL") == "1":
-        # Optional domain-batched localization (reference radius 1.2, bump
-        # taper). Measured at N=1000: +9s wall-clock, no RMSE gain — with
-        # 1000 members the sampling error localization fixes is already
-        # small. It matters at small N (the reference's regime).
+    if loc:
         from historymatching_tpu.da.localization import domain_partition
         from historymatching_tpu.parallel.runner import prod_inds
 
         domains, taper_dom = domain_partition(
-            model.grid, np.asarray(prod_inds(model)), nTime=NTIME,
+            model.grid, np.asarray(prod_inds(model)), nTime=nTime,
             steps=(4, 4), radius=1.2,
         )
-        loc_kw = dict(domains=domains, taper_dom=jnp.asarray(taper_dom, prior.dtype))
+        loc_kw = dict(domains=domains, taper_dom=jnp.asarray(taper_dom, dtype))
 
     def workload(prior_, key_):
-        return es_mda(prior_, fwd_obs, obs, R12, mda_alphas(MDA_STEPS), key_, **loc_kw)
+        return es_mda(prior_, fwd_obs, obs, R12, mda_alphas(mda_steps), key_,
+                      **loc_kw)
+
+    return workload, obs, prior
+
+
+def rmse_vs_truth(E, truth):
+    return float(jnp.sqrt(jnp.mean((jnp.mean(E, 0) - truth.astype(E.dtype)) ** 2)))
+
+
+def run_case(seed, N, Nx=64, Ny=64, nTime=40, dtype=jnp.float32,
+             mda_steps=MDA_STEPS, loc=False, timed=True, **sim_kwargs):
+    """End-to-end: build case -> run workload -> quality (+ timing) dict."""
+    case = build_case(seed, N, Nx, Ny, nTime)
+    workload, obs, prior = make_workload(case, dtype, mda_steps, loc,
+                                         **sim_kwargs)
+    t0 = time.perf_counter()
+    post = workload(prior, case["key_mda"])
+    jax.block_until_ready(post)
+    t_first = time.perf_counter() - t0
+    elapsed = None
+    if timed:
+        t0 = time.perf_counter()
+        post = workload(prior, case["key_mda"])
+        jax.block_until_ready(post)
+        elapsed = time.perf_counter() - t0
+    return dict(
+        seed=seed,
+        rmse_prior=rmse_vs_truth(prior, case["truth"]),
+        rmse_post=rmse_vs_truth(post, case["truth"]),
+        first_call_s=round(t_first, 3),
+        elapsed_s=None if elapsed is None else round(elapsed, 3),
+    )
+
+
+def _parity_fields():
+    """Fold committed multi-seed parity stats (if present) into the bench
+    line: scripts/parity.py writes parity/PARITY_TPU.json on hardware."""
+    path = os.path.join(os.path.dirname(PARITY_REFS), "PARITY_TPU.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        p = json.load(f)
+    return {
+        "parity_seeds": p.get("seeds"),
+        "parity_N": p.get("N"),
+        "parity_rmse_ratio_median": p.get("ratio_median"),
+        "parity_rmse_ratio_max": p.get("ratio_max"),
+        "parity_ok": p.get("ok"),
+    }
+
+
+def main():
+    seed = int(os.environ.get("BENCH_SEED", "1"))
+    patience = int(os.environ.get("BENCH_PATIENCE", "128"))
+    sim_kw = dict(patience_iters=patience)
+    case = build_case(seed, N_ENS, NX, NY, NTIME)
+    workload, obs, prior = make_workload(case, jnp.float32, MDA_STEPS,
+                                         loc=False, **sim_kw)
 
     # Warm-up/compile with the measured shapes (jit caches per shape).
     t_compile = time.perf_counter()
-    post = workload(prior, k_mda)
+    post = workload(prior, case["key_mda"])
     jax.block_until_ready(post)
     t_compile = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
-    post = workload(prior, k_mda)
+    post = workload(prior, case["key_mda"])
     jax.block_until_ready(post)
     elapsed = time.perf_counter() - t0
 
-    # quality guard: posterior-mean RMSE must beat the prior's
-    def rmse(E):
-        return float(jnp.sqrt(jnp.mean((jnp.mean(E, 0) - truth) ** 2)))
+    e_prior = rmse_vs_truth(prior, case["truth"])
+    e_post = rmse_vs_truth(post, case["truth"])
 
-    e_prior, e_post = rmse(prior), rmse(post)
+    out = {}
+    want_local = os.environ.get("BENCH_LOCAL", "0" if SMALL else "1") == "1"
+    if want_local:
+        wl_loc, _, _ = make_workload(case, jnp.float32, MDA_STEPS, loc=True,
+                                     **sim_kw)
+        post_l = wl_loc(prior, case["key_mda"])
+        jax.block_until_ready(post_l)
+        t0 = time.perf_counter()
+        post_l = wl_loc(prior, case["key_mda"])
+        jax.block_until_ready(post_l)
+        out.update(
+            local_value=round(time.perf_counter() - t0, 3),
+            local_rmse_post=round(rmse_vs_truth(post_l, case["truth"]), 4),
+        )
 
     n_dev = len(jax.devices())
     # The BASELINE.md target (10 s) is for a v5e-8 (8 chips); this bench runs
@@ -132,6 +236,8 @@ def main():
                 "first_call_s": round(t_compile, 3),
                 "devices": n_dev,
                 "backend": jax.devices()[0].platform,
+                **out,
+                **_parity_fields(),
             }
         )
     )

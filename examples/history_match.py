@@ -161,6 +161,26 @@ def main():
     print(f"\ncorr(pre-perm, final sat @ probe cell): range [{float(C.min()):.2f}, "
           f"{float(C.max()):.2f}]")
 
+    # ---- Taper tuning: corr_wells sweep (reference :738-769, headless) -------
+    # The reference's interactive probe asks you to find the radius that makes
+    # the tapered small-ensemble correlation fields resemble the full-ensemble
+    # fields (author's suggested answer: 0.8). This sweep scores that
+    # resemblance over a (radius, sharpness) grid and prints the winner.
+    from historymatching_tpu.da.localization import suggest_taper_radius
+
+    best_r, best_s, scores = suggest_taper_radius(
+        prior, prod_prior, dists, nPrd, n_small=max(4, N // 2),
+    )
+    print(f"taper tuning (corr_wells sweep): suggested radius {best_r} "
+          f"sharpness {best_s} (reference suggestion: 0.8; run uses 1.2)")
+    sweep_tbl = sorted(scores.items(), key=lambda kv: kv[1])[:5]
+    for (r, s), v in sweep_tbl:
+        print(f"  radius {r:<4} sharp {s:<4}: score {v:.4f}")
+    # Prior singular spectrum (reference :332-333), device-safe Jacobi SVD.
+    sv = np.asarray(hm.svals(prior))
+    print(f"prior spectrum: s[0]={sv[0]:.2f}, s[-1]={sv[-1]:.3f}, "
+          f"s[0]/s[-1]={sv[0] / max(sv[-1], 1e-12):.1f}")
+
     if args.plot:
         os.makedirs(args.outdir, exist_ok=True)
         from historymatching_tpu import plotting
@@ -172,6 +192,20 @@ def main():
         fig.savefig(os.path.join(args.outdir, "productions.png"), dpi=120)
         fig, _ = plotting.fields(model, {"corr": np.asarray(C)}, "corr", "Correlation probe")
         fig.savefig(os.path.join(args.outdir, "correlation.png"), dpi=120)
+        from historymatching_tpu.da.localization import corr_wells
+
+        cw = {
+            f"r={r}": np.asarray(
+                corr_wells(prior, prod_prior, dists, nTime - 1, 0, nPrd,
+                           N=max(4, N // 2), radius=r)
+            )
+            for r in (0.4, best_r, 2.0)
+        }
+        cw["full ens"] = np.asarray(
+            corr_wells(prior, prod_prior, dists, nTime - 1, 0, nPrd)
+        )
+        fig, _ = plotting.fields(model, cw, "corr", "corr_wells taper tuning (well 0)")
+        fig.savefig(os.path.join(args.outdir, "corr_wells.png"), dpi=120)
         print(f"figures written to {args.outdir}/")
 
 

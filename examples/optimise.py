@@ -28,8 +28,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--cases", default="inj_xy,x_only,two_inj,rate,time_rates,robust,pareto")
+    ap.add_argument(
+        "--cases",
+        default="inj_xy,x_only,two_inj,rate,multi_rate,time_rates,robust,pareto",
+    )
     ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument("--plot", action="store_true", help="write figures to --outdir")
+    ap.add_argument("--outdir", default="figs")
     args = ap.parse_args()
     cases = set(args.cases.split(","))
 
@@ -139,6 +144,40 @@ def main():
                                  nabla=hm.EnGrad(chol=0.1), nIter=nIter, key=k)
         report("rate EnOpt", objs, f"rate*={float(path[-1][0]):.2f}")
 
+    # ---- Case: multiple rates, manual + EnOpt (reference :676-733) ------------
+    # The reference's `interactive_rate_optim` lets you hand-tune 4 injector
+    # rates against EnOpt ("Were you able to beat EnOpt?"). Headless stand-in:
+    # a coarse grid sweep over the 4 rates plays the human.
+    if "multi_rate" in cases:
+        triangle = [0, 135, -135]
+        m4 = base.replace(
+            name="Triangle case",
+            inj_xy=[[Lx / 2, Ly / 2]] + [pCircle(th + 90, Lx, Ly) for th in triangle],
+            prd_xy=[pCircle(th - 90, Lx, Ly) for th in triangle],
+            inj_rates=rate0 * np.ones((4, 1)) / 4,
+            prd_rates=rate0 * np.ones((3, 1)) / 3,
+        )
+
+        def obj_mr(u):
+            inj = u.reshape(-1, 1)
+            prd = equalize(inj, m4.nPrd)
+            return npv_value(m4, cfg, inj_rates=inj, prd_rates=prd)
+
+        n1d = 3 if args.small else 5
+        g1 = np.linspace(0.1, 1.4, n1d)
+        U = np.stack(np.meshgrid(*[g1] * 4, indexing="ij"), -1).reshape(-1, 4)
+        t0 = time.time()
+        vals = jax.lax.map(jax.vmap(obj_mr), jnp.asarray(U).reshape(-1, n1d, 4))
+        vals = np.asarray(vals).reshape(-1)
+        i_best = int(vals.argmax())
+        print(f"[multi_rate] manual (grid {n1d}^4) best NPV {vals[i_best]:.3f} at "
+              f"rates {U[i_best].round(2)} [{time.time() - t0:.1f}s]")
+        key, k = jax.random.split(key)
+        path, objs, info = hm.GD(obj_mr, 0.7 * jnp.ones(m4.nInj),
+                                 nabla=hm.EnGrad(chol=0.1), nIter=nIter, key=k)
+        beat = "EnOpt beat the grid" if objs[-1] > vals[i_best] else "grid beat EnOpt"
+        report("multi_rate EnOpt", objs, f"rates*={path[-1].round(2)} ({beat})")
+
     # ---- Case: time-dependent multi-well rates (reference :732-777) -----------
     if "time_rates" in cases:
         triangle = [0, 135, -135]
@@ -179,10 +218,62 @@ def main():
             return jnp.mean(jax.vmap(lambda x: obj1(u, x))(uq_ens))
 
         u0 = jax.random.uniform(k_u0, (2,)) * jnp.array([Lx, Ly])
+        ctrl_robust = None
         for strategy in ["StoSAG", "Paired", "Mean-model"]:
             ng = hm.EnGrad(chol=0.1, nEns=nEns, robustly=strategy, obj_ux=obj1, X=uq_ens)
             path, objs, info = hm.GD(obj_robust, u0, nabla=ng, nIter=nIter, key=k_gd)
             report(f"robust[{strategy}]", objs, f"u*={path[-1].round(2)}")
+            if strategy == "StoSAG":
+                ctrl_robust = path[-1]
+
+        # -- Per-member exhaustive verification (reference :958-997) ----------
+        # For each uncertainty member: EnOpt its nominal optimum AND find the
+        # global optimum by exhausting the objective on the grid; count
+        # members whose EnOpt answer is significantly suboptimal.
+        t0 = time.time()
+        ctrl_nominal = []
+        for n in range(nEns):
+            key, kn, ku = jax.random.split(key, 3)
+            u0n = jax.random.uniform(ku, (2,)) * jnp.array([Lx, Ly])
+            pth, _, _ = hm.GD(lambda u, x=uq_ens[n]: obj1(u, x), u0n,
+                              nabla=hm.EnGrad(chol=0.1), nIter=nIter, key=kn)
+            ctrl_nominal.append(np.asarray(pth[-1]))
+        ctrl_nominal = np.asarray(ctrl_nominal)
+        pts = mesh2list(*base.mesh)  # (Nxy, 2) cell centres
+
+        def member_landscape(x):
+            f = jax.vmap(lambda u, x=x: obj1(u, x))
+            return jax.lax.map(f, pts.reshape(-1, Ny, 2)).reshape(-1)
+
+        npv_mesh = jnp.stack([member_landscape(x) for x in uq_ens])
+        ctrl_global = np.stack(
+            np.asarray(base.ind2xy(np.asarray(jnp.argmax(npv_mesh, axis=1)))), -1
+        )
+        err = (ctrl_global - ctrl_nominal) / np.array([Lx, Ly])
+        RMS = np.sqrt(np.mean(err**2, -1))
+        n_bad = int((RMS > 0.1).sum())
+        print(f"[robust] Number of significantly suboptimal EnOpt answer: "
+              f"{n_bad} of {len(RMS)} [{time.time() - t0:.1f}s]")
+
+        # -- KDE performance densities: robust vs nominal (reference :1009-1066)
+        npvs_robust = np.asarray(
+            jax.vmap(lambda x: obj1(jnp.asarray(ctrl_robust), x))(uq_ens)
+        )
+        npvs_condnl = np.asarray(
+            jax.vmap(lambda u: jax.vmap(lambda x: obj1(u, x))(uq_ens))(
+                jnp.asarray(ctrl_nominal)
+            )
+        )
+        print(f"[robust]          Mean    Min")
+        print(f"[robust] Robust:  {npvs_robust.mean():<6.3g}  {npvs_robust.min():.3g}")
+        print(f"[robust] Nominal: {npvs_condnl.mean():<6.3g}  {npvs_condnl.min():.3g}")
+        if args.plot:
+            os.makedirs(args.outdir, exist_ok=True)
+            from historymatching_tpu import plotting
+
+            fig = plotting.npv_kde(npvs_condnl, npvs_robust)
+            fig.savefig(os.path.join(args.outdir, "npv_kde.png"), dpi=120)
+            print(f"[robust] KDE figure written to {args.outdir}/npv_kde.png")
 
     # ---- Multi-objective: Pareto sweep over inj price (reference :1069-1139) ---
     if "pareto" in cases:

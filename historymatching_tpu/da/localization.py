@@ -99,6 +99,70 @@ def xy_max_corr(grid, param_ens, prod_ens, t_min=6):
     return paths
 
 
+def corr_wells(prior, prod_prior, dists_to_obs, t, well, nPrd, N=None,
+               radius=None, sharpness=1.0, nan_mask=True):
+    """Tapered parameter/production correlation field — the taper-tuning
+    probe (reference HistoryMatch.py:738-748): corr(prior[:N],
+    prod[:N, t, well]), optionally multiplied by the bump taper of given
+    radius/sharpness with cells below taper 1e-3 masked to NaN.
+
+    Returns an (Nxy,) field. `dists_to_obs` from `dist_to_obs` (obs tiled
+    over time, well index fastest)."""
+    from historymatching_tpu.utils import corr
+
+    prior = jnp.asarray(prior)[:N]
+    series = jnp.asarray(prod_prior)[:N, t, well]
+    C = corr(prior, series)
+    if radius is not None:
+        c = bump(jnp.asarray(dists_to_obs)[:, well + nPrd * t] / radius, sharpness)
+        C = C * c
+        if nan_mask:
+            C = jnp.where(c < 1e-3, jnp.nan, C)
+    return C
+
+
+def suggest_taper_radius(prior, prod_prior, dists_to_obs, nPrd, n_small=20,
+                         radii=(0.4, 0.6, 0.8, 1.0, 1.2, 1.6, 2.0),
+                         sharps=(0.1, 1.0, 10.0), times=None, wells=None):
+    """Non-interactive version of the reference's taper-tuning methodology
+    (HistoryMatch.py:763-769): find the (radius, sharpness) whose tapered
+    SMALL-ensemble correlation fields best resemble the full-ensemble fields
+    ("try to find a value that makes the localized (small-ensemble) fields
+    resemble the full-size ensemble fields"; author's suggestion 0.8).
+
+    Scores mean RMS difference between taper * corr(prior[:n_small], ...) and
+    corr(prior, ...) over a probe set of (time, well) pairs. Returns
+    (best_radius, best_sharpness, scores) with scores[(radius, sharp)] =
+    float."""
+    prod_prior = jnp.asarray(prod_prior)
+    nTime = prod_prior.shape[1]
+    if times is None:
+        times = range(max(1, nTime // 4), nTime, max(1, nTime // 4))
+    if wells is None:
+        wells = range(nPrd)
+    probes = [(t, w) for t in times for w in wells]
+
+    def _finite(C):
+        # Pre-breakthrough production series are constant across members
+        # -> corr is 0/0 = NaN; such probes carry no signal, score as 0.
+        return jnp.nan_to_num(C, nan=0.0, posinf=0.0, neginf=0.0)
+
+    full = {tw: _finite(corr_wells(prior, prod_prior, dists_to_obs, *tw, nPrd))
+            for tw in probes}
+    scores = {}
+    for radius in radii:
+        for sharp in sharps:
+            errs = []
+            for tw in probes:
+                small = _finite(corr_wells(prior, prod_prior, dists_to_obs, *tw,
+                                           nPrd, N=n_small, radius=radius,
+                                           sharpness=sharp, nan_mask=False))
+                errs.append(float(jnp.sqrt(jnp.mean((small - full[tw]) ** 2))))
+            scores[(radius, sharp)] = float(np.mean(errs))
+    best = min(scores, key=scores.get)
+    return best[0], best[1], scores
+
+
 def domain_partition(grid, obs_inds, nTime=1, steps=(8, 8), radius=1.2, sharpness=1):
     """Domains + per-domain tapers for the batched local analysis
     (`da.update.ens_update0_loc_domains`).

@@ -354,3 +354,36 @@ def init(backend=None):
 
 def show():
     plt.show()
+
+
+def npv_kde(npvs_condnl, npvs_robust, title="NPV densities for optimal controls"):
+    """Gaussian-KDE performance densities of each nominally-optimal control
+    vs the robust one (reference notebooks/Optimise.py:1009-1066; after
+    Essen2009): one thin curve per nominal control, the robust strategy as a
+    thick white line, mean/min legend."""
+    from scipy.stats import gaussian_kde
+
+    npvs_condnl = np.asarray(npvs_condnl)
+    npvs_robust = np.asarray(npvs_robust)
+    fig, ax = freshfig(title, figsize=(7, 4))
+    a, b = float(npvs_condnl.min()), float(npvs_condnl.max())
+    grid = np.linspace(a, b if b > a else a + 1.0, 100)
+    cmap = plt.get_cmap("tab20")
+    for n, row in enumerate(npvs_condnl):
+        if np.std(row) > 0:
+            ax.plot(grid, gaussian_kde(row)(grid), c=cmap(n % 20), lw=1.2, alpha=0.7)
+    if np.std(npvs_robust) > 0:
+        ax.plot(grid, gaussian_kde(npvs_robust)(grid), "w", lw=3)
+    leg = (
+        "         Mean    Min",
+        f"Robust:  {npvs_robust.mean():<6.3g}  {npvs_robust.min():.3g}",
+        f"Nominal: {npvs_condnl.mean():<6.3g}  {npvs_condnl.min():.3g}",
+    )
+    ax.text(0.02, 0.97, "\n".join(leg), transform=ax.transAxes, va="top",
+            ha="left", fontsize="medium", fontfamily="monospace",
+            bbox=dict(facecolor="lightyellow", edgecolor="k", alpha=0.99,
+                      boxstyle="round,pad=0.25"))
+    ax.set(facecolor="k", xlabel="NPV", ylabel="Density (pdf)", xlim=(a, b), ylim=0)
+    ax.tick_params(axis="y", left=False, labelleft=False)
+    fig.tight_layout()
+    return fig

@@ -71,3 +71,49 @@ def test_xy_max_corr(key=None):
         assert np.allclose(paths[w, 2:], expect[None, :], atol=1e-9)
         # pre-t_min fallback copies the t_min location
         assert np.allclose(paths[w, 0], paths[w, 2])
+
+
+def test_corr_wells_taper_and_mask(key):
+    import jax
+    import jax.numpy as jnp
+
+    from historymatching_tpu.da.localization import corr_wells, dist_to_obs
+    from historymatching_tpu.grid import Grid2D
+
+    g = Grid2D(Nx=8, Ny=8, Lx=2, Ly=1)
+    nPrd, nTime, N = 2, 5, 30
+    k1, k2 = jax.random.split(key)
+    prior = jax.random.normal(k1, (N, g.Nxy))
+    prod = jax.random.normal(k2, (N, nTime, nPrd))
+    dists = dist_to_obs(g, np.array([3, 60]), nTime=nTime)
+    C = corr_wells(prior, prod, dists, 2, 1, nPrd)
+    assert C.shape == (g.Nxy,)
+    assert np.all(np.abs(np.asarray(C)) <= 1 + 1e-9)
+    Ct = corr_wells(prior, prod, dists, 2, 1, nPrd, radius=0.5)
+    Ct = np.asarray(Ct)
+    # masked cells are exactly where the taper is < 1e-3
+    from historymatching_tpu.da.localization import bump
+
+    c = np.asarray(bump(np.asarray(dists)[:, 1 + nPrd * 2] / 0.5))
+    assert np.array_equal(np.isnan(Ct), c < 1e-3)
+
+
+def test_suggest_taper_radius_smoke(key):
+    import jax
+    import jax.numpy as jnp
+
+    from historymatching_tpu.da.localization import dist_to_obs, suggest_taper_radius
+    from historymatching_tpu.grid import Grid2D
+
+    g = Grid2D(Nx=8, Ny=8, Lx=2, Ly=1)
+    nPrd, nTime, N = 2, 6, 40
+    k1, k2 = jax.random.split(key)
+    prior = jax.random.normal(k1, (N, g.Nxy))
+    # production correlated with a local patch of the parameter field
+    prod = jnp.stack([prior[:, :4].mean(1)] * nTime, 1)[:, :, None].repeat(nPrd, 2)
+    prod = prod + 0.1 * jax.random.normal(k2, (N, nTime, nPrd))
+    dists = dist_to_obs(g, np.array([3, 60]), nTime=nTime)
+    r, s, scores = suggest_taper_radius(prior, prod, dists, nPrd, n_small=10,
+                                        radii=(0.5, 1.0, 2.0), sharps=(1.0,))
+    assert r in (0.5, 1.0, 2.0) and s == 1.0
+    assert all(np.isfinite(v) for v in scores.values())
