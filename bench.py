@@ -159,6 +159,87 @@ def run_case(seed, N, Nx=64, Ny=64, nTime=40, dtype=jnp.float32,
     )
 
 
+# -- Roofline / MFU accounting --------------------------------------------------
+#
+# Analytic FLOP/byte model of the hot path, with iteration/substep counts
+# MEASURED on a subsample (they are data-dependent). Peaks are TPU v5e-1:
+#   MXU bf16 197 TFLOP/s (public). The VPU peak is derived from the same
+#   clock: 197e12 / (4 MXUs * 128*128 * 2) = 1.5 GHz; VPU = 8*128 lanes * 2
+#   (FMA) * 1.5 GHz = 3.08 TFLOP/s f32. HBM: 819 GB/s (public).
+# The workload is elementwise/VPU-dominated (stencils, upwinding, V-cycles)
+# and VMEM-resident inside the fused Pallas kernels, so the meaningful
+# utilization figures are achieved-vs-VPU-peak and the (low) HBM pressure.
+VPU_PEAK_F32 = 3.08e12
+HBM_PEAK_GBPS = 819.0
+# flops/cell per CG iteration: stencil matvec ~12 + dots/axpys ~11 + V-cycle
+# (2 pre + 2 post damped-Jacobi sweeps @ ~15, residual ~13, transfers ~4,
+# summed over levels: x4/3) ~102  => ~125.
+FLOPS_PER_CELL_PER_CG_ITER = 125.0
+# flops/cell per transport substep: frac-flow ~8, upwind face fluxes ~8,
+# divergence ~4, update+clip ~7  => ~27 (+ CFL reduction ~6/outer step).
+FLOPS_PER_CELL_PER_SUBSTEP = 27.0
+# per pressure solve setup: mobilities+transmissibilities+diag+hierarchy
+# (~25/cell) + coarse Newton-Schulz inverse (~51 iters * 3 GEMMs of 16^2).
+FLOPS_PER_CELL_SETUP = 25.0
+COARSE_NS_FLOPS = 51 * 3 * 2 * 16**3
+
+
+def _roofline_fields(case, elapsed, n_ens, mda_steps, **sim_kwargs):
+    """Measure per-member iteration counters on a subsample, scale to the
+    full workload, and report achieved FLOP/s + HBM pressure vs peaks."""
+    from historymatching_tpu.models.ressim import simulate
+    from historymatching_tpu.parallel.runner import set_perm
+
+    model = case["model"]
+    nTime = case["nTime"]
+    n_sub = min(64, n_ens)
+    sub = case["prior"][:n_sub]
+
+    def counters(p):
+        m = set_perm(model, p)
+        r = simulate(m, jnp.zeros(model.Nxy, jnp.float32), DT, nTime, **sim_kwargs)
+        return r.cg_iters.sum(), r.substeps.sum()
+
+    it_sum, sub_sum = jax.jit(jax.vmap(counters))(sub)
+    cg_per_member = float(jnp.mean(it_sum))
+    substeps_per_member = float(jnp.mean(sub_sum))
+
+    Nxy = model.Nxy
+    per_pass = (
+        cg_per_member * Nxy * FLOPS_PER_CELL_PER_CG_ITER
+        + substeps_per_member * Nxy * FLOPS_PER_CELL_PER_SUBSTEP
+        + nTime * (Nxy * FLOPS_PER_CELL_SETUP + COARSE_NS_FLOPS)
+    )
+    # Analysis (ens_update0, ensemble-space form, Newton-Schulz solve):
+    p_obs = case["R12"].shape[0]
+    N = n_ens
+    n_solve = min(p_obs, N)
+    analysis = (
+        2 * N * p_obs * p_obs          # S = Y @ decorr, D @ decorr
+        + 2 * N * p_obs * n_solve      # Gram
+        + 51 * 3 * 2 * n_solve**3      # spd_inverse (guarded NS)
+        + 4 * N * p_obs * Nxy          # Kalman term GEMMs
+    )
+    flops_total = mda_steps * (n_ens * per_pass + analysis)
+
+    # HBM traffic model: per member-step the fused kernels stream the
+    # operator data + states once (hierarchy 4/3 * 3 fields + q/p0/p +
+    # transport s/Fx/Fy/q in+out + setup fields K/mob/TX/TY ~ 22 fields).
+    bytes_total = mda_steps * n_ens * nTime * 22 * Nxy * 4.0
+
+    achieved = flops_total / elapsed
+    hbm_gbps = bytes_total / elapsed / 1e9
+    return {
+        "cg_iters_per_member_pass": round(cg_per_member, 1),
+        "substeps_per_member_pass": round(substeps_per_member, 1),
+        "model_tflops": round(flops_total / 1e12, 2),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "vpu_util": round(achieved / VPU_PEAK_F32, 3),
+        "hbm_gbps_model": round(hbm_gbps, 1),
+        "hbm_util_model": round(hbm_gbps / HBM_PEAK_GBPS, 3),
+    }
+
+
 def _parity_fields():
     """Fold committed multi-seed parity stats (if present) into the bench
     line: scripts/parity.py writes parity/PARITY_TPU.json on hardware."""
@@ -212,6 +293,11 @@ def main():
             local_value=round(time.perf_counter() - t0, 3),
             local_rmse_post=round(rmse_vs_truth(post_l, case["truth"]), 4),
         )
+
+    try:
+        out.update(_roofline_fields(case, elapsed, N_ENS, MDA_STEPS, **sim_kw))
+    except Exception as e:  # pragma: no cover — diagnostics must not kill the bench
+        out["roofline_error"] = str(e)[:200]
 
     n_dev = len(jax.devices())
     # The BASELINE.md target (10 s) is for a v5e-8 (8 chips); this bench runs
