@@ -101,9 +101,13 @@ def plt_field(ax, model, Z, style="default", wells=True, argmax=False, colorbar=
     return im
 
 
-def fields(model, ensemble, style="pperm", title="", max_panels=12):
-    """Grid of ensemble member fields with a shared style
-    (reference tools/plotting.py:67-150)."""
+def fields(model, ensemble, style="pperm", title="", max_panels=12,
+           colorbar=True):
+    """Grid of ensemble member fields with a shared style and ONE shared
+    colorbar (reference tools/plotting.py:67-150 uses AxesGrid with
+    cbar_mode='single'; same layout via constrained_layout here). Panels
+    share the style's color scale; when the style has no fixed vmin/vmax the
+    common data range is used, so panels stay comparable."""
     if isinstance(ensemble, dict):
         labels = list(ensemble)
         data = [np.asarray(v) for v in ensemble.values()]
@@ -114,13 +118,23 @@ def fields(model, ensemble, style="pperm", title="", max_panels=12):
     ncols = min(4, n)
     nrows = -(-n // ncols)
     fig, axs = plt.subplots(nrows, ncols, num=f"Fields: {title}", squeeze=False,
-                            figsize=(3 * ncols, 2.2 * nrows))
+                            figsize=(3 * ncols, 2.2 * nrows),
+                            layout="constrained")
     for ax in axs.ravel()[n:]:
         ax.axis("off")
+    st = _style(style)
+    if st.get("vmin") is None and st.get("locator") != "log":
+        finite = [d[np.isfinite(d)] for d in data]
+        finite = [d for d in finite if d.size]
+        if finite:
+            st["vmin"] = float(min(d.min() for d in finite))
+            st["vmax"] = float(max(d.max() for d in finite))
+    im = None
     for lbl, Z, ax in zip(labels, data, axs.ravel()):
-        plt_field(ax, model, Z, style, wells=False, colorbar=False, title=lbl)
+        im = plt_field(ax, model, Z, st, wells=False, colorbar=False, title=lbl)
+    if colorbar and im is not None and st.get("colorbar", True):
+        fig.colorbar(im, ax=axs.ravel().tolist(), shrink=0.9)
     fig.suptitle(title)
-    fig.tight_layout()
     return fig, axs
 
 
@@ -280,6 +294,30 @@ def field_console(model, compute, style="corr", title="", wells=False, argmax=Fa
         fig, ax = freshfig(title)
         plt_field(ax, model, Z, style, wells=wells, argmax=argmax, title=title)
         return fig, ax, Z
+
+
+def layout1(ww, output):
+    """Bespoke widget layout for field dashboards (reference
+    tools/plotting.py:358-419): named controls arranged around the figure
+    output —
+        cN | cF/cFt | cP/cPt   (top row)
+        output | cY            (middle)
+        cX                     (bottom).
+    Requires ipywidgets; headless, returns the output unchanged (the
+    dashboards already degrade to static frames there)."""
+    try:  # pragma: no cover - notebook path
+        import ipywidgets as w
+
+        def grab(*names):
+            got = [ww[n] for n in names if n in ww]
+            return w.VBox(got) if len(got) > 1 else (got[0] if got else w.Box())
+
+        top = w.HBox([grab("N"), grab("F", "Ft"), grab("P", "Pt")])
+        mid = w.HBox([output, grab("Y", "y")])
+        bot = grab("X", "x")
+        return w.VBox([top, mid, bot])
+    except ImportError:
+        return output
 
 
 def toggle_items(series: dict, plot_fn):
