@@ -33,7 +33,7 @@ from historymatching_tpu.da.update import (
 from historymatching_tpu.da import geostat, localization
 from historymatching_tpu.da.geostat import gaussian_fields, sample_prior_perm
 from historymatching_tpu.da.localization import bump, pairwise_distances
-from historymatching_tpu.opt.enopt import EnGrad, Backtracker, GD
+from historymatching_tpu.opt.enopt import EnGrad, Backtracker, GD, gd_scan
 from historymatching_tpu.opt.npv import NPVConfig, npv, accounting
 from historymatching_tpu import checkpoint, profiling, utils
 from historymatching_tpu.utils import center, cov, corr, gaussian_noise, rinv, svals, vect
@@ -64,6 +64,7 @@ __all__ = [
     "EnGrad",
     "Backtracker",
     "GD",
+    "gd_scan",
     "NPVConfig",
     "npv",
     "accounting",

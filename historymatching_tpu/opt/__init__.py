@@ -1,6 +1,6 @@
 """Ensemble optimisation (EnOpt) layer: gradients, line search, NPV objective."""
 
-from historymatching_tpu.opt.enopt import EnGrad, Backtracker, GD  # noqa: F401
+from historymatching_tpu.opt.enopt import EnGrad, Backtracker, GD, gd_scan  # noqa: F401
 from historymatching_tpu.opt.npv import NPVConfig, accounting, npv, prd_sats  # noqa: F401
 from historymatching_tpu.opt.transforms import (  # noqa: F401
     balance_rates,

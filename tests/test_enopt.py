@@ -131,3 +131,39 @@ def test_transforms():
     inj, prd = balance_rates(np.array([[2.0, 1.0]]), np.array([[1.0, 2.0]]))
     assert np.allclose(np.asarray(inj).sum(0), np.asarray(prd).sum(0))
     assert np.allclose(np.asarray(inj).sum(0), [1.0, 1.0])
+
+
+def test_gd_scan_matches_host_gd(key):
+    """The on-device lax.scan GD must reproduce the host-loop GD exactly
+    (same key => same perturbations => same trajectory) on a toy."""
+    import jax.numpy as jnp
+
+    from historymatching_tpu.opt.enopt import GD, EnGrad, gd_scan
+
+    def quad(u):
+        return -jnp.sum((u - 0.3) ** 2)  # maximize => optimum at 0.3
+
+    u0 = jnp.array([0.9, -0.5])
+    path_h, objs_h, info_h = GD(quad, u0, nabla=EnGrad(chol=0.1), nIter=40, key=key)
+    path_d, objs_d, info_d = gd_scan(quad, u0, chol=0.1, nIter=40, key=key)
+    assert np.allclose(path_d[-1], path_h[-1], atol=1e-6), (path_d[-1], path_h[-1])
+    assert abs(objs_d[-1] - objs_h[-1]) < 1e-8
+    assert np.allclose(path_d[-1], 0.3, atol=0.05)
+    assert info_d["cause"] == info_h["cause"]
+    # full-trajectory agreement (not just the endpoint)
+    n = min(len(path_h), len(path_d))
+    assert np.allclose(path_d[:n], path_h[:n], atol=1e-6)
+
+
+def test_gd_scan_precond_and_budget(key):
+    import jax.numpy as jnp
+
+    from historymatching_tpu.opt.enopt import gd_scan
+
+    def quad(u):
+        return -jnp.sum(u * u)
+
+    path, objs, info = gd_scan(quad, jnp.array([1.0, 1.0, -2.0]), chol=0.2,
+                               precond=True, nIter=25, key=key)
+    assert objs[-1] > objs[0]
+    assert len(path) == len(objs) == info["nIter"] + 1
