@@ -158,7 +158,8 @@ def pcg(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=64,
 
 
 def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_every=8,
-                patience_iters=96, residual_fn=None, metric_weight=None):
+                patience_iters=96, residual_fn=None, metric_weight=None,
+                group_lanes=1):
     """Hand-batched restarted PCG: `b`, `x0` are (B, ...) member batches.
 
     Same algorithm as `pcg` with per-member masking, but with a *scalar*
@@ -191,15 +192,26 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
     x0 = jnp.zeros_like(b) if x0 is None else x0
     Minv_ = (lambda r: r) if Minv is None else Minv
 
-    def vdot(u, v):
-        """Per-member dot, broadcast back to the full field shape (B, ...).
+    if group_lanes > 1:
+        # Lane-packed layout: `group_lanes` members share each lane row
+        # (ops/packed.py); per-member scalars become per-lane-block fields.
+        # All masking/guard logic below is elementwise on full-size fields,
+        # so it turns per-member automatically.
+        from historymatching_tpu.ops.packed import grouped_vdot
 
-        The intermediate never drops below rank 2, and the broadcast happens
-        while the reduced value still has Mosaic's replicated layout."""
-        s = u * v
-        for ax in range(s.ndim - 1, 0, -1):
-            s = jnp.sum(s, axis=ax, keepdims=True)
-        return jnp.broadcast_to(s, b.shape)
+        def vdot(u, v):
+            return grouped_vdot(u, v, group_lanes)
+    else:
+        def vdot(u, v):
+            """Per-member dot, broadcast back to the full field shape (B, ...).
+
+            The intermediate never drops below rank 2, and the broadcast
+            happens while the reduced value still has Mosaic's replicated
+            layout."""
+            s = u * v
+            for ax in range(s.ndim - 1, 0, -1):
+                s = jnp.sum(s, axis=ax, keepdims=True)
+            return jnp.broadcast_to(s, b.shape)
 
     if metric_weight is None:
         wdot = vdot
@@ -279,6 +291,10 @@ def pcg_batched(matvec, b, x0=None, Minv=None, tol=1e-8, maxiter=1000, restart_e
     )
     _, _, _, x_best, rr_best, _, k = lax.while_loop(cond, body, state0)
     rel_full = jnp.sqrt(rr_best / jnp.maximum(bb, jnp.finfo(dtype).tiny))
-    # Per-member value lives constant across the field; one slice suffices.
-    rel_res = rel_full[(slice(None),) + (slice(0, 1),) * (b.ndim - 1)]
+    if group_lanes > 1:
+        # Per-member values live blockwise along the lane axis: keep it.
+        rel_res = rel_full[(slice(None),) + (slice(0, 1),) * (b.ndim - 2) + (slice(None),)]
+    else:
+        # Per-member value lives constant across the field; one slice suffices.
+        rel_res = rel_full[(slice(None),) + (slice(0, 1),) * (b.ndim - 1)]
     return x_best, k, rel_res

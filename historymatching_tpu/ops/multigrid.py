@@ -240,6 +240,137 @@ def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False, omega_c=1.4)
     return cycle(b, 0)
 
 
+# -- lane-packed variant (P members per lane row; see ops/packed.py) -----------
+
+
+def _agg_matrix_grouped(n, P, dtype):
+    """(n/2, n) 2->1 aggregation WITHIN each of P equal lane blocks:
+    coarse packed lane c (member g = c // (nc/P... block-local 2J,2J+1).
+    Built from iota (Pallas forbids captured array constants)."""
+    nc = n // 2
+    ny_c = nc // P  # coarse per-member width
+    row = jax.lax.broadcasted_iota(jnp.int32, (nc, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nc, n), 1)
+    g = row // ny_c
+    j = row - g * ny_c
+    fine = g * (2 * ny_c) + 2 * j
+    return ((col == fine) | (col == fine + 1)).astype(dtype)
+
+
+def _mm_rows(A, r):
+    """A @ r over the row (second-minor) axis, unrolled over a leading batch
+    axis (Mosaic can't lower rank-3 matmul)."""
+    if r.ndim == 2:
+        return jnp.matmul(A, r, precision=_HI)
+    return jnp.stack([jnp.matmul(A, r[i], precision=_HI) for i in range(r.shape[0])])
+
+
+def _mm_lanes(r, Bt):
+    if r.ndim == 2:
+        return jnp.matmul(r, Bt, precision=_HI)
+    return jnp.stack([jnp.matmul(r[i], Bt, precision=_HI) for i in range(r.shape[0])])
+
+
+def _restrict_packed(r, P):
+    Rx = _agg_matrix(r.shape[-2], r.dtype)
+    Ry = _agg_matrix_grouped(r.shape[-1], P, r.dtype)
+    return _mm_lanes(_mm_rows(Rx, r), Ry.T)
+
+
+def _prolong_packed(e, shape, P):
+    Rx = _agg_matrix(shape[-2], e.dtype)
+    Ry = _agg_matrix_grouped(shape[-1], P, e.dtype)
+    return _mm_lanes(_mm_rows(Rx.T, e), Ry)
+
+
+def _jacobi_packed(TXf, TYf, diag, x, b, sweeps, omega):
+    from historymatching_tpu.ops.packed import stencil_matvec_packed
+
+    for _ in range(sweeps):
+        x = x + omega * (b - stencil_matvec_packed(TXf, TYf, diag, x)) / diag
+    return x
+
+
+def _coarse_apply_packed(Ainv3p, b, P):
+    """Grouped coarse solve: `Ainv3p` (P*n_loc, Nc, Wc) holds each member's
+    inverse rows placed in ITS OWN lane block (zeros elsewhere), so the full
+    reduction per row picks up only that member's residual entries — the
+    zero-padding replaces per-member masking. Unrolled like
+    `_coarse_apply_unrolled` (same Mosaic constraints)."""
+    n_rows, Nc, Wc = Ainv3p.shape[-3:]
+    ny_c = Wc // P
+    row = jax.lax.broadcasted_iota(jnp.int32, (Nc, Wc), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Nc, Wc), 1)
+    y = jnp.zeros_like(b)
+    n_loc = n_rows // P
+    for r in range(n_rows):
+        g, rl = r // n_loc, r % n_loc
+        # target cell of member g for local row rl: (rl // ny_c, rl % ny_c)
+        onehot = ((row == rl // ny_c) & (col == g * ny_c + rl % ny_c)).astype(b.dtype)
+        s = Ainv3p[..., r, :, :] * b
+        for ax in range(s.ndim - 1, s.ndim - 3, -1):
+            s = jnp.sum(s, axis=ax, keepdims=True)
+        y = y + jnp.broadcast_to(s, b.shape) * onehot
+    return y
+
+
+def vcycle_apply_packed(hierarchy, Ainv3p, b, P, nu=2, omega=0.7, omega_c=1.4):
+    """One V-cycle in the lane-packed layout (hierarchy levels are packed
+    full-width face/diag triples; see ops/packed.py). Pure jnp — used inside
+    the packed Pallas pressure kernel and testable under XLA/interpret."""
+
+    def cycle(b, lvl):
+        TXf, TYf, diag = hierarchy[lvl]
+        if lvl == len(hierarchy) - 1:
+            return _coarse_apply_packed(Ainv3p, b, P)
+        from historymatching_tpu.ops.packed import stencil_matvec_packed
+
+        x = _jacobi_packed(TXf, TYf, diag, jnp.zeros_like(b), b, nu, omega)
+        r = b - stencil_matvec_packed(TXf, TYf, diag, x)
+        ec = cycle(_restrict_packed(r, P), lvl + 1)
+        x = x + omega_c * _prolong_packed(ec, b.shape, P)
+        x = _jacobi_packed(TXf, TYf, diag, x, b, nu, omega)
+        return x
+
+    return cycle(b, 0)
+
+
+def pack_hierarchy(hier_members, P):
+    """Per-member hierarchy ((N, ...) leaves, from vmapped
+    build_hierarchy_5pt) -> packed full-width levels + packed coarse inverse
+    rows. XLA-land (runs outside the kernel)."""
+    from historymatching_tpu.ops.packed import pack_cells, pack_faces_x, pack_faces_y
+
+    packed = []
+    for TX, TY, diag in hier_members:
+        packed.append((pack_faces_x(TX, P), pack_faces_y(TY, P), pack_cells(diag, P)))
+
+    # Coarse inverse per member: (N, n_loc, n_loc) -> packed zero-padded rows
+    # (N/P, P*n_loc, Nc, Wc).
+    TXc, TYc, diagc = hier_members[-1]
+    N = diagc.shape[0]
+    Nc, Myc = diagc.shape[-2:]
+    n_loc = Nc * Myc
+    Ainv = jax.vmap(lambda tx, ty, d: spd_inverse(
+        _dense_coarse_matrix(tx, ty, d),
+        jitter=1e-4 if d.dtype == jnp.float32 else 1e-12,
+    ))(TXc, TYc, diagc)  # (N, n_loc, n_loc)
+    return packed, pack_coarse_inv(Ainv.reshape(N, n_loc, Nc, Myc), P)
+
+
+def pack_coarse_inv(rows, P):
+    """Row-unflattened per-member coarse inverses (N, n_loc, Nc, Myc) ->
+    grouped zero-padded form (N/P, P*n_loc, Nc, P*Myc) for
+    `_coarse_apply_packed` (member g's rows live in lane block g only)."""
+    N, n_loc, Nc, Myc = rows.shape
+    G = N // P
+    rows = rows.reshape(G, P, n_loc, Nc, Myc)
+    out = jnp.zeros((G, P, n_loc, Nc, P * Myc), rows.dtype)
+    for g in range(P):
+        out = out.at[:, g, :, :, g * Myc:(g + 1) * Myc].set(rows[:, g])
+    return out.reshape(G, P * n_loc, Nc, P * Myc)
+
+
 def vcycle_solver(hierarchy, nu=2, omega=0.7, omega_c=1.4):
     """Return M_inv: b -> approx A^{-1} b (one V-cycle, zero initial guess).
 

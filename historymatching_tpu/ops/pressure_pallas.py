@@ -167,6 +167,88 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, w, tol, maxiter, resta
     return p, it.reshape(N), rel.reshape(N)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("P", "tol", "maxiter", "restart_every", "nu", "block_pairs",
+                     "interpret", "patience_iters"),
+)
+def pressure_solve_pallas_packed(hier_flat_p, Ainv3p, qp, p0p, wp, P, tol, maxiter,
+                                 restart_every=8, nu=2, block_pairs=4,
+                                 interpret=False, patience_iters=96):
+    """Lane-packed batched pressure solve: P members share each lane row
+    (ops/packed.py), so at Ny = 64 every VPU op uses all 128 lanes instead
+    of half. Inputs are packed full-width levels ((G, Nx, P*Ny) face/diag
+    triples), the grouped coarse inverse (multigrid.pack_coarse_inv), and
+    packed q/p0/w; G = N/P pair-rows, `block_pairs` pair-rows per program.
+
+    Returns (p_packed, iters (G,1,W) int, rel (G,1,W)) — per-member rel
+    values live blockwise on the lane axis (extract [..., ::Ny])."""
+    from historymatching_tpu.ops.multigrid import vcycle_apply_packed
+    from historymatching_tpu.ops.packed import stencil_matvec_packed
+
+    G = qp.shape[0]
+    W = qp.shape[-1]
+    assert G % block_pairs == 0, (G, block_pairs)
+    L = len(hier_flat_p) // 3
+    n_in = len(hier_flat_p) + 4
+
+    def kernel(*refs):
+        ins, (p_out, it_out, rel_out) = refs[:n_in], refs[n_in:]
+        vals = [r[:] for r in ins]
+        hier = [tuple(vals[3 * lv: 3 * lv + 3]) for lv in range(L)]
+        Ainv_v, q_v, p0_v, w_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2], vals[3 * L + 3]
+        TXf, TYf, diag0 = hier[0]
+        matvec = lambda x: stencil_matvec_packed(TXf, TYf, diag0, x)  # noqa: E731
+        Minv = lambda b: vcycle_apply_packed(hier, Ainv_v, b, P, nu=nu)  # noqa: E731
+        x, k, rel = pcg_batched(matvec, q_v, x0=p0_v, Minv=Minv, tol=tol,
+                                maxiter=maxiter, restart_every=restart_every,
+                                patience_iters=patience_iters, metric_weight=w_v,
+                                group_lanes=P)
+        p_out[:] = x
+        it_out[:] = (rel * 0).astype(jnp.int32) + k
+        rel_out[:] = rel
+
+    def bspec(x):
+        return pl.BlockSpec((block_pairs,) + x.shape[1:],
+                            lambda i: (i,) + (0,) * (x.ndim - 1))
+
+    args = tuple(hier_flat_p) + (Ainv3p, qp, p0p, wp)
+    in_specs = [bspec(a) for a in args]
+    out_specs = (
+        bspec(qp),
+        pl.BlockSpec((block_pairs, 1, W), lambda i: (i, 0, 0)),
+        pl.BlockSpec((block_pairs, 1, W), lambda i: (i, 0, 0)),
+    )
+    p, it, rel = pl.pallas_call(
+        kernel,
+        grid=(G // block_pairs,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+            jax.ShapeDtypeStruct((G, 1, W), jnp.int32),
+            jax.ShapeDtypeStruct((G, 1, W), qp.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return p, it, rel
+
+
+def _pack_args(hier_flat, Ainv, q, p0, w, P):
+    """Batched (N, ...) kernel operands -> lane-packed (N/P, ...) operands.
+    XLA-land (outside the kernel); hier_flat leaves cycle (TX, TY, diag)."""
+    from historymatching_tpu.ops.multigrid import pack_coarse_inv
+    from historymatching_tpu.ops.packed import pack_cells, pack_faces_x, pack_faces_y
+
+    packed = []
+    for lv in range(len(hier_flat) // 3):
+        TX, TY, diag = hier_flat[3 * lv: 3 * lv + 3]
+        packed += [pack_faces_x(TX, P), pack_faces_y(TY, P), pack_cells(diag, P)]
+    return (tuple(packed), pack_coarse_inv(Ainv, P), pack_cells(q, P),
+            pack_cells(p0, P), pack_cells(w, P))
+
+
 def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart_every=8,
                              nu=2, patience_iters=96, compensated=False, block=8):
     """Per-member pressure solve whose `vmap` rule is the blocked kernel.
@@ -196,13 +278,46 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
         q_b = ensure(q, qb)
         p0_b = ensure(p0, pb)
         w_b = ensure(w, wb)
-        pad = (-axis_size) % block
+
+        # Lane packing factor: P members per 128-lane row (ops/packed.py) —
+        # at the flagship Ny = 64 the unpacked kernels waste half the lanes.
+        import os
+
+        Ny = q.shape[-1]
+        P = 128 // Ny if (Ny <= 64 and 128 % Ny == 0) else 1
+        if os.environ.get("HM_PACKED", "1") != "1":
+            P = 1
+
+        # Packed sweet spot (measured, N=128 x 256 fixed iters, 64x64):
+        # blocked block=8: 80 ms; packed 8/16/32 members-per-program:
+        # 50/44/41 ms — the full-lane layout is ~2x, biggest programs best.
+        block_pairs = 16
+        group = (P * block_pairs) if P > 1 else block  # padding granularity
+        pad = (-axis_size) % group
         if pad:
             # modular gather, not x[:pad] — slicing clamps when pad > N
             idx = jnp.arange(axis_size + pad) % axis_size
             grow = lambda x: x[idx]  # noqa: E731
             hier_flat_b = tuple(grow(h) for h in hier_flat_b)
             Ainv_b, q_b, p0_b, w_b = grow(Ainv_b), grow(q_b), grow(p0_b), grow(w_b)
+
+        if P > 1:
+            from historymatching_tpu.ops.packed import unpack_cells
+
+            hier_p, Ainv_p, q_p, p0_p, w_p = _pack_args(
+                hier_flat_b, Ainv_b, q_b, p0_b, w_b, P
+            )
+            pp, it_p, rel_p = pressure_solve_pallas_packed(
+                hier_p, Ainv_p, q_p, p0_p, w_p, P, tol, maxiter,
+                restart_every=restart_every, nu=nu, block_pairs=block_pairs,
+                patience_iters=patience_iters,
+            )
+            p = unpack_cells(pp, P)
+            # per-member scalars live blockwise on the lane axis
+            it = it_p[:, 0, ::Ny].reshape(-1)
+            rel = rel_p[:, 0, ::Ny].reshape(-1)
+            return (p[:axis_size], it[:axis_size], rel[:axis_size]), (True, True, True)
+
         p, it, rel = pressure_solve_pallas_batched(
             hier_flat_b, Ainv_b, q_b, p0_b, w_b, tol, maxiter,
             restart_every=restart_every, nu=nu, block=block,

@@ -179,3 +179,67 @@ def test_transport_blocked_matches_per_member(key):
             s[b], Fx[b], Fy[b], q[b], dts_pv[b], n_sub[b], fl_t, interpret=True
         )
         assert np.allclose(np.asarray(vm[b]), np.asarray(single), atol=1e-7), b
+
+
+def test_pressure_packed_kernel_interpret(key):
+    """Lane-packed pressure kernel (interpret mode) == per-member XLA pcg."""
+    from historymatching_tpu.ops.cg import pcg
+    from historymatching_tpu.ops.multigrid import (
+        build_hierarchy_5pt,
+        coarse_inverse,
+        vcycle_solver,
+    )
+    from historymatching_tpu.ops.packed import pack_cells, unpack_cells
+    from historymatching_tpu.ops.pressure_pallas import (
+        _pack_args,
+        pressure_solve_pallas_packed,
+    )
+    from historymatching_tpu.ops.stencil import (
+        stencil_diag_nopin,
+        stencil_matvec,
+        transmissibilities,
+    )
+
+    Nx, Ny, P, B = 16, 16, 8, 8
+    ks = jax.random.split(key, B)
+    Ks = jnp.stack(
+        [jnp.exp(2 * jax.random.normal(k, (Nx, Ny))).astype(jnp.float32) for k in ks]
+    )
+
+    def build(K):
+        TX, TY = transmissibilities(K, K, 0.1, 0.1)
+        dnp = stencil_diag_nopin(TX, TY)
+        diag = dnp.at[0, 0].add(jnp.mean(dnp))
+        hier = build_hierarchy_5pt(TX, TY, diag)
+        Nc, Mc = hier[-1][2].shape
+        Ainv3 = coarse_inverse(hier).reshape(-1, Nc, Mc)
+        return hier, Ainv3, diag
+
+    hier_b, Ainv_b, diag_b = jax.vmap(build)(Ks)
+    hier_flat_b = tuple(x for lvl in hier_b for x in lvl)
+    q = jnp.zeros((B, Nx, Ny), jnp.float32).at[:, 8, 8].set(1.0).at[:, 2, 2].set(-1.0)
+    w = jnp.sqrt(diag_b)
+
+    hier_p, Ainv_p, q_p, p0_p, w_p = _pack_args(
+        hier_flat_b, Ainv_b, q, jnp.zeros_like(q), w, P
+    )
+    pp, it_p, rel_p = pressure_solve_pallas_packed(
+        hier_p, Ainv_p, q_p, p0_p, w_p, P, tol=1e-4, maxiter=256,
+        block_pairs=1, interpret=True,
+    )
+    p = np.asarray(unpack_cells(pp, P))
+    rel_members = np.asarray(rel_p)[:, 0, ::Ny].reshape(-1)
+
+    for b in range(B):
+        hier_1 = [tuple(x[b] for x in lvl) for lvl in hier_b]
+        mv = lambda x: stencil_matvec(hier_1[0][0], hier_1[0][1], hier_1[0][2], x)
+        p_ref, _, rel_ref = pcg(
+            mv, q[b], x0=jnp.zeros_like(q[b]), Minv=vcycle_solver(hier_1),
+            tol=1e-4, maxiter=256, restart_every=8, metric_weight=w[b],
+        )
+        r = np.asarray(q[b] - mv(jnp.asarray(p[b])))
+        nq = np.linalg.norm(np.asarray(q[b]))
+        assert np.linalg.norm(r) / nq < 1e-3, (b, np.linalg.norm(r) / nq)
+        assert rel_members[b] < 1e-3
+        scale = np.abs(np.asarray(p_ref)).max()
+        assert np.allclose(p[b], np.asarray(p_ref), atol=5e-3 * scale), b
