@@ -182,6 +182,103 @@ def transport_substeps_pallas_batched(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t,
     )(nmax, nsub_f, dts_f, s, Fx, Fy, q)
 
 
+def _make_kernel_packed(vw, vo, swc, sor):
+    from historymatching_tpu.ops.packed import (
+        _shift_down,
+        _shift_left,
+        _shift_right,
+        _shift_up,
+    )
+
+    def kernel(nmax_ref, nsub_ref, dtspv_ref, s_ref, fxf_ref, fyf_ref, q_ref, out_ref):
+        n_max = nmax_ref[pl.program_id(0), 0]
+        nsub_f = nsub_ref[:]   # (G, Nx, W) per-member substep counts (float)
+        dts_pv = dtspv_ref[:]  # (G, Nx, W)
+
+        # Face-form fluxes: fxf[..., i, :] crosses rows (i, i+1) (last row
+        # zero); fyf[..., :, j] crosses columns (j, j+1) (member-seam and
+        # last columns zero — cross-member leakage is killed exactly).
+        Fxf = fxf_ref[:]
+        Fyf = fyf_ref[:]
+        q = q_ref[:]
+        XPf = jnp.maximum(Fxf, 0.0)
+        XNf = jnp.minimum(Fxf, 0.0)
+        YPf = jnp.maximum(Fyf, 0.0)
+        YNf = jnp.minimum(Fyf, 0.0)
+        fi = jnp.maximum(q, 0.0)
+        fp = jnp.minimum(q, 0.0)
+
+        def substep(i, s):
+            S = (s - swc) / (1.0 - swc - sor)
+            Mw = S * S / vw
+            Mo = (1.0 - S) * (1.0 - S) / vo
+            fw = Mw / (Mw + Mo)
+            # donor-cell upwinding on face-form fluxes
+            Fw_xf = XPf * fw + XNf * _shift_up(fw)
+            Fw_yf = YPf * fw + YNf * _shift_left(fw)
+            div = (Fw_xf - _shift_down(Fw_xf)) + (Fw_yf - _shift_right(Fw_yf))
+            s_new = jnp.clip(s + dts_pv * (fi + fp * fw - div), swc, 1.0 - sor)
+            live = i.astype(nsub_f.dtype) < nsub_f
+            return jnp.where(live, s_new, s)
+
+        out_ref[:] = jax.lax.fori_loop(0, n_max, substep, s_ref[:])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("fluid_t", "P", "block_pairs", "interpret"))
+def transport_substeps_pallas_packed(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t,
+                                     P, block_pairs=16, interpret=False):
+    """Lane-packed blocked transport: P members per 128-lane row (see
+    ops/packed.py). Member-leading inputs ((N, Nx, Ny) fields, (N, Nx+1, Ny)
+    / (N, Nx, Ny+1) fluxes, (N,) scalars); packing/unpacking happens here
+    (XLA-land)."""
+    from historymatching_tpu.ops.packed import pack_cells, unpack_cells
+
+    vw, vo, swc, sor = (float(v) for v in fluid_t)
+    N, Nx, Ny = s.shape
+    group = P * block_pairs
+    assert N % group == 0, (N, group)
+    n_sub = n_sub.astype(jnp.int32)
+    G = N // P
+    nblocks = G // block_pairs
+    # face-form: drop the leading zero-boundary face; the trailing one is the
+    # member's own zero column/row, which doubles as the pack seam.
+    Fxf = pack_cells(Fx[:, 1:, :], P)
+    Fyf = pack_cells(Fy[:, :, 1:], P)
+    sp = pack_cells(s, P)
+    qp = pack_cells(q, P)
+    nsub_f = pack_cells(
+        jnp.broadcast_to(n_sub.astype(s.dtype)[:, None, None], s.shape), P
+    )
+    dts_f = pack_cells(
+        jnp.broadcast_to(dts_over_pv.astype(s.dtype)[:, None, None], s.shape), P
+    )
+    nmax = jnp.max(n_sub.reshape(nblocks, group), axis=1).reshape(nblocks, 1)
+
+    def bspec(x):
+        return pl.BlockSpec((block_pairs,) + x.shape[1:],
+                            lambda i: (i,) + (0,) * (x.ndim - 1))
+
+    out = pl.pallas_call(
+        _make_kernel_packed(vw, vo, swc, sor),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            bspec(nsub_f),
+            bspec(dts_f),
+            bspec(sp),
+            bspec(Fxf),
+            bspec(Fyf),
+            bspec(qp),
+        ],
+        out_specs=bspec(sp),
+        out_shape=jax.ShapeDtypeStruct(sp.shape, s.dtype),
+        interpret=interpret,
+    )(nmax, nsub_f, dts_f, sp, Fxf, Fyf, qp)
+    return unpack_cells(out, P)
+
+
 def transport_substeps_vmappable(s, Fx, Fy, q, dts_over_pv, n_sub, *, fluid_t,
                                  block=8, interpret=False):
     """Per-member transport whose `vmap` rule is the blocked kernel
@@ -199,12 +296,29 @@ def transport_substeps_vmappable(s, Fx, Fy, q, dts_over_pv, n_sub, *, fluid_t,
         for x, batched in zip(args, in_batched):
             out.append(x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape))
         s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b = out
-        pad = (-axis_size) % block
+
+        # Lane packing (see ops/packed.py / pressure_solve_vmappable).
+        import os
+
+        Ny = s.shape[-1]
+        P = 128 // Ny if (Ny <= 64 and 128 % Ny == 0) else 1
+        if os.environ.get("HM_PACKED", "1") != "1":
+            P = 1
+        block_pairs = 16
+        group = (P * block_pairs) if P > 1 else block
+
+        pad = (-axis_size) % group
         if pad:
             idx = jnp.arange(axis_size + pad) % axis_size
             s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b = (
                 x[idx] for x in (s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b)
             )
+        if P > 1:
+            s_out = transport_substeps_pallas_packed(
+                s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b, fluid_t, P,
+                block_pairs=block_pairs, interpret=interpret,
+            )
+            return s_out[:axis_size], True
         s_out = transport_substeps_pallas_batched(
             s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b, fluid_t, block=block,
             interpret=interpret,

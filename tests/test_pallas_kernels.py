@@ -243,3 +243,37 @@ def test_pressure_packed_kernel_interpret(key):
         assert rel_members[b] < 1e-3
         scale = np.abs(np.asarray(p_ref)).max()
         assert np.allclose(p[b], np.asarray(p_ref), atol=5e-3 * scale), b
+
+
+def test_transport_packed_matches_per_member(key):
+    """Lane-packed transport kernel == per-member kernel (interpret mode),
+    incl. ragged substep counts and zero cross-member leakage."""
+    from historymatching_tpu.ops.transport_pallas import (
+        transport_substeps_pallas,
+        transport_substeps_pallas_packed,
+    )
+
+    m = default_model(Nx=8, Ny=8)
+    g = m.grid
+    P, bp = 16, 1
+    B = P * bp
+    ks = jax.random.split(key, 3)
+    s = jnp.clip(0.4 + 0.2 * jax.random.normal(ks[0], (B, *g.shape)), 0, 1).astype(jnp.float32)
+    Fx = (0.1 * jax.random.normal(ks[1], (B, g.Nx + 1, g.Ny))).astype(jnp.float32)
+    Fx = Fx.at[:, 0].set(0).at[:, -1].set(0)
+    Fy = (0.1 * jax.random.normal(ks[2], (B, g.Nx, g.Ny + 1))).astype(jnp.float32)
+    Fy = Fy.at[:, :, 0].set(0).at[:, :, -1].set(0)
+    q = jnp.zeros((B, *g.shape), jnp.float32).at[:, 4, 4].set(1.0).at[:, 1, 1].set(-1.0)
+    dts_pv = jnp.linspace(0.005, 0.02, B).astype(jnp.float32)
+    n_sub = (1 + jnp.arange(B, dtype=jnp.int32) * 3) % 9 + 1  # ragged
+    fl = m.fluid
+    fl_t = (fl.vw, fl.vo, fl.swc, fl.sor)
+
+    packed = transport_substeps_pallas_packed(
+        s, Fx, Fy, q, dts_pv, n_sub, fl_t, P, block_pairs=bp, interpret=True
+    )
+    for b in range(B):
+        single = transport_substeps_pallas(
+            s[b], Fx[b], Fy[b], q[b], dts_pv[b], n_sub[b], fl_t, interpret=True
+        )
+        assert np.allclose(np.asarray(packed[b]), np.asarray(single), atol=1e-7), b
