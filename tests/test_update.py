@@ -259,3 +259,26 @@ def test_domain_partition_helper():
     assert np.array_equal(allidx, np.arange(g.Nxy))
     assert np.asarray(taper_dom).shape == (len(domains), 6)
     assert np.asarray(taper_dom).max() <= 1.0
+
+
+def test_loc_domains_obs_space_branch_matches_ens_space(key):
+    """p < N picks the obs-space (p x p) solve; must equal the N x N form
+    (push-through identity) and the per-cell localized update on grouped
+    tapers."""
+    from historymatching_tpu.da.update import ens_update0_loc_domains
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    N, M, p, nDom = 24, 8, 6, 4  # p < N -> obs-space branch
+    prior = jax.random.normal(k1, (N, M))
+    obs_ens = prior @ (0.4 * jax.random.normal(k2, (M, p)))
+    obs = jax.random.normal(k3, (p,))
+    perturbs = jax.random.normal(k4, (N, p))
+    decorr = 0.8 * jnp.eye(p)
+    taper_dom = jnp.abs(jnp.sin(jnp.arange(nDom)[:, None] + jnp.arange(p) * 0.9))
+    domains = jnp.arange(M).reshape(nDom, 2)
+    got = ens_update0_loc_domains(prior, obs_ens, obs, perturbs, decorr,
+                                  taper_dom, domains)
+    # reference: per-cell localized update with the expanded taper
+    taper_full = jnp.repeat(taper_dom, 2, axis=0)
+    expect = ens_update0_loc(prior, obs_ens, obs, perturbs, decorr, taper_full)
+    assert np.allclose(np.asarray(got), np.asarray(expect), atol=1e-9)
