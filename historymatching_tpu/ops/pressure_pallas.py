@@ -304,18 +304,51 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
         if P > 1:
             from historymatching_tpu.ops.packed import unpack_cells
 
-            hier_p, Ainv_p, q_p, p0_p, w_p = _pack_args(
-                hier_flat_b, Ainv_b, q_b, p0_b, w_b, P
+            def packed_solve(hier_f, Ainv_, q_, p0_, w_, miter):
+                hier_p, Ainv_p, q_p, p0_p, w_p = _pack_args(
+                    hier_f, Ainv_, q_, p0_, w_, P
+                )
+                pp, it_p, rel_p = pressure_solve_pallas_packed(
+                    hier_p, Ainv_p, q_p, p0_p, w_p, P, tol, miter,
+                    restart_every=restart_every, nu=nu, block_pairs=block_pairs,
+                    patience_iters=patience_iters,
+                )
+                return (unpack_cells(pp, P),
+                        it_p[:, 0, ::Ny].reshape(-1),
+                        rel_p[:, 0, ::Ny].reshape(-1))
+
+            Nb = q_b.shape[0]
+            # Straggler recook: a program runs to its SLOWEST member's
+            # iteration count, and hard members are rare — so give everyone
+            # a short pass 1, then gather the worst-K members (by achieved
+            # physical residual: an exact difficulty signal) into a few
+            # dense programs and finish them warm-started. CG restarted
+            # from the pass-1 iterate with residual replacement is the
+            # same algorithm, so converged members are bit-unaffected and
+            # stragglers get at least the old budget. Measured: most
+            # members need < 64 iters/solve while program maxes ran ~246.
+            two_pass = (
+                os.environ.get("HM_TWOPASS", "1") == "1"
+                and maxiter > 64
+                and Nb >= 8 * group
             )
-            pp, it_p, rel_p = pressure_solve_pallas_packed(
-                hier_p, Ainv_p, q_p, p0_p, w_p, P, tol, maxiter,
-                restart_every=restart_every, nu=nu, block_pairs=block_pairs,
-                patience_iters=patience_iters,
+            if not two_pass:
+                p, it, rel = packed_solve(hier_flat_b, Ainv_b, q_b, p0_b, w_b,
+                                          maxiter)
+                return ((p[:axis_size], it[:axis_size], rel[:axis_size]),
+                        (True, True, True))
+
+            p1, it1, rel1 = packed_solve(hier_flat_b, Ainv_b, q_b, p0_b, w_b, 64)
+            K = max(group, (Nb // 4 // group) * group)  # worst ~25%
+            _, idx = jax.lax.top_k(rel1, K)
+            take = lambda x: x[idx]  # noqa: E731
+            p2, it2, rel2 = packed_solve(
+                tuple(take(h) for h in hier_flat_b), take(Ainv_b), take(q_b),
+                take(p1), take(w_b), maxiter,
             )
-            p = unpack_cells(pp, P)
-            # per-member scalars live blockwise on the lane axis
-            it = it_p[:, 0, ::Ny].reshape(-1)
-            rel = rel_p[:, 0, ::Ny].reshape(-1)
+            p = p1.at[idx].set(p2)
+            it = it1.at[idx].add(it2)
+            rel = rel1.at[idx].set(rel2)
             return (p[:axis_size], it[:axis_size], rel[:axis_size]), (True, True, True)
 
         p, it, rel = pressure_solve_pallas_batched(
