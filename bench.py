@@ -285,6 +285,15 @@ def main():
     jax.block_until_ready(post)
     elapsed = time.perf_counter() - t0
 
+    if os.environ.get("BENCH_TRACE"):
+        # Device trace of one workload pass (view in Perfetto/TensorBoard).
+        # Round-2 finding from this: pressure kernel 17.3 s, transport 2.3 s,
+        # scan/analysis ~1.8 s of the pre-recook 21.4 s.
+        from historymatching_tpu import profiling
+
+        with profiling.trace(os.environ["BENCH_TRACE"]):
+            jax.block_until_ready(workload(prior, case["key_mda"]))
+
     e_prior = rmse_vs_truth(prior, case["truth"])
     e_post = rmse_vs_truth(post, case["truth"])
 

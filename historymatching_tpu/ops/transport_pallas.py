@@ -232,7 +232,12 @@ def transport_substeps_pallas_packed(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t,
     """Lane-packed blocked transport: P members per 128-lane row (see
     ops/packed.py). Member-leading inputs ((N, Nx, Ny) fields, (N, Nx+1, Ny)
     / (N, Nx, Ny+1) fluxes, (N,) scalars); packing/unpacking happens here
-    (XLA-land)."""
+    (XLA-land).
+
+    Contract: boundary faces of Fx/Fy must be ZERO (face_fluxes always
+    emits them so — the simulator guarantees this); the face-form packing
+    drops the leading boundary face and reuses the trailing one as the
+    lane seam."""
     from historymatching_tpu.ops.packed import pack_cells, unpack_cells
 
     vw, vo, swc, sor = (float(v) for v in fluid_t)

@@ -151,8 +151,13 @@ def test_transport_blocked_matches_per_member(key):
     B = 8
     ks = jax.random.split(key, 3)
     s = jnp.clip(0.4 + 0.2 * jax.random.normal(ks[0], (B, *g.shape)), 0, 1).astype(jnp.float32)
+    # Physical fluxes carry ZERO boundary faces (face_fluxes always emits
+    # them); the packed lane layout relies on that invariant, so synthetic
+    # inputs must honor it too.
     Fx = (0.1 * jax.random.normal(ks[1], (B, g.Nx + 1, g.Ny))).astype(jnp.float32)
+    Fx = Fx.at[:, 0].set(0).at[:, -1].set(0)
     Fy = (0.1 * jax.random.normal(ks[2], (B, g.Nx, g.Ny + 1))).astype(jnp.float32)
+    Fy = Fy.at[:, :, 0].set(0).at[:, :, -1].set(0)
     q = jnp.zeros((B, *g.shape), jnp.float32)
     dts_pv = jnp.linspace(0.005, 0.02, B).astype(jnp.float32)
     n_sub = jnp.array([1, 3, 5, 2, 8, 1, 4, 7], jnp.int32)  # ragged
