@@ -85,8 +85,8 @@ def build_case(seed, N, Nx=64, Ny=64, nTime=40):
     k_truth, k_prior, k_noise, k_mda = jax.random.split(key, 4)
     f32 = jnp.float32
     with jax.default_matmul_precision("highest"):
-        truth = gaussian_fields_fft(k_truth, model.grid, N=1, r=0.8)[0].astype(f32)
-        prior = gaussian_fields_fft(k_prior, model.grid, N=N, r=0.8).astype(f32)
+        truth = gaussian_fields_fft(k_truth, model.grid, N=1, r=0.8, dtype=f32)[0]
+        prior = gaussian_fields_fft(k_prior, model.grid, N=N, r=0.8, dtype=f32)
     nPrd = model.nPrd
     _, R12 = temporal_R(nTime, nPrd)
     R12 = jnp.asarray(R12, f32)
@@ -195,7 +195,14 @@ COARSE_NS_FLOPS = 51 * 3 * 2 * 16**3
 
 def _roofline_fields(case, elapsed, n_ens, mda_steps, **sim_kwargs):
     """Measure per-member iteration counters on a subsample, scale to the
-    full workload, and report achieved FLOP/s + HBM pressure vs peaks."""
+    full workload, and report achieved FLOP/s + HBM pressure vs peaks.
+
+    Caveat: on TPU the reported cg iteration counts are per-PROGRAM maxima
+    (all lanes of a Mosaic program run while any member is live), measured
+    at the subsample's blocking without the two-pass straggler recook — so
+    `model_tflops` bounds the dispatched work from above and `vpu_util` is
+    an upper estimate. The relative movement across bench runs is what
+    matters."""
     from historymatching_tpu.models.ressim import simulate
     from historymatching_tpu.parallel.runner import set_perm
 

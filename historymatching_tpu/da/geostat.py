@@ -130,9 +130,9 @@ def _dft_mats(M, dtype):
     return jnp.asarray(np.cos(jk), dtype=dtype), jnp.asarray(-np.sin(jk), dtype=dtype)
 
 
-@partial(jax.jit, static_argnames=("grid", "N", "r"))
+@partial(jax.jit, static_argnames=("grid", "N", "r", "dtype"))
 @_full_precision
-def gaussian_fields_fft(key, grid, N=1, r=0.2):
+def gaussian_fields_fft(key, grid, N=1, r=0.2, dtype=None):
     """Spectral (circulant embedding) sampler on a regular `Grid2D`.
 
     field = Re(DFT2(sqrt(S/M) * zeta)) with zeta complex white noise
@@ -145,7 +145,11 @@ def gaussian_fields_fft(key, grid, N=1, r=0.2):
     Returns (N, Nxy) fields flattened in the grid's C-order over (Nx, Ny).
     """
     S, (Mx, My) = _embedding_spectrum(grid.Nx, grid.Ny, grid.hx, grid.hy, r)
-    dtype = jnp.result_type(float)
+    # Explicit dtype pins the PRNG bit consumption: the same key yields the
+    # same field regardless of the enabled-x64 mode (required for the f32/f64
+    # paired-seed parity harness).
+    if dtype is None:
+        dtype = jnp.result_type(float)
     amp = jnp.sqrt(S / (Mx * My)).astype(dtype)
     k1, k2 = jax.random.split(key)
     Cr = amp[None] * jax.random.normal(k1, (N, Mx, My), dtype=dtype)

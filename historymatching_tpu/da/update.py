@@ -353,7 +353,7 @@ def mda_alphas(n):
 
 
 def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=None,
-           taper_dom=None):
+           taper_dom=None, noise_dtype=jnp.float32):
     """ES-MDA: iterated stochastic ES with inflated obs-error covariance.
 
     Each step i re-runs `forward_obs` on the current ensemble and applies
@@ -361,6 +361,11 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=No
     the domain-batched localized variant if `domains` + `taper_dom` are
     given) with R -> alpha_i R: perturbs *= sqrt(alpha_i),
     decorr /= sqrt(alpha_i). With alphas = [1.0] this is exactly one ES step.
+
+    `noise_dtype` (default float32): the perturbation draws are made in this
+    dtype and cast to the pipeline's — so float32 and float64 runs of the
+    same key see IDENTICAL noise (paired-seed parity testing); pass None to
+    draw in the pipeline dtype.
     """
     E = jnp.asarray(prior_ens)
     dtype = E.dtype  # the whole pass stays in the ensemble's precision
@@ -368,10 +373,11 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=No
     p = R12.shape[0]
     N = E.shape[0]
     dec0 = decorrelator(R12).astype(dtype)
+    R12_noise = R12.astype(noise_dtype) if noise_dtype is not None else R12
     for a in jnp.asarray(alphas).astype(dtype):
         key, sub = jax.random.split(key)
         Eo = jnp.asarray(forward_obs(E)).astype(dtype)
-        perturbs = jnp.sqrt(a) * gaussian_noise(sub, N, p, L=R12)
+        perturbs = jnp.sqrt(a) * gaussian_noise(sub, N, p, L=R12_noise).astype(dtype)
         dec = dec0 / jnp.sqrt(a)
         if domains is not None:
             E = ens_update0_loc_domains(E, Eo, obs, perturbs, dec, taper_dom, domains)

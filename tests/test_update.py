@@ -190,10 +190,11 @@ def test_es_mda_single_alpha_equals_es(key):
     prior = jnp.sqrt(4 / 3) * jax.random.normal(k1, (N, M))
     obs = 4.0 * jnp.ones(M)
     R12 = 2.0 * jnp.eye(M)
-    # replicate es_mda's internal key usage
+    # replicate es_mda's internal key usage (noise drawn in float32 and
+    # cast — the paired-seed parity contract)
     key2 = k2
     key2, sub = jax.random.split(key2)
-    perturbs = gaussian_noise(sub, N, M, L=R12)
+    perturbs = gaussian_noise(sub, N, M, L=R12.astype(jnp.float32)).astype(R12.dtype)
     expect = ens_update0(prior, prior, obs, perturbs, decorrelator(R12))
     got = es_mda(prior, lambda E: E, obs, R12, jnp.array([1.0]), k2)
     assert np.allclose(np.asarray(got), np.asarray(expect), atol=1e-9)
