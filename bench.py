@@ -273,10 +273,22 @@ def _parity_fields():
     }
 
 
+def bench_sim_kwargs():
+    """The official bench solver settings. tol 5e-4 / maxiter 512 / patience
+    192 is the measured quality-speed point where the multi-seed f32/f64
+    posterior-RMSE ratio passes (median 1.049 <= 1.05, scripts/parity.py)
+    at +2.2 s over the fastest settings — the two-pass straggler recook
+    makes the extra iterations cheap (only hard members pay)."""
+    return dict(
+        patience_iters=int(os.environ.get("BENCH_PATIENCE", "192")),
+        tol=float(os.environ.get("BENCH_TOL", "5e-4")),
+        maxiter=int(os.environ.get("BENCH_MAXITER", "512")),
+    )
+
+
 def main():
     seed = int(os.environ.get("BENCH_SEED", "1"))
-    patience = int(os.environ.get("BENCH_PATIENCE", "128"))
-    sim_kw = dict(patience_iters=patience)
+    sim_kw = bench_sim_kwargs()
     case = build_case(seed, N_ENS, NX, NY, NTIME)
     workload, obs, prior = make_workload(case, jnp.float32, MDA_STEPS,
                                          loc=False, **sim_kw)

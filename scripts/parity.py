@@ -42,7 +42,9 @@ THRESHOLD = 1.05
 
 
 def _sim_kw():
-    kw = dict(patience_iters=int(os.environ.get("BENCH_PATIENCE", "128")))
+    import bench
+
+    kw = bench.bench_sim_kwargs()  # mirror the official bench settings
     kw.update(json.loads(os.environ.get("PARITY_SIM_KW", "{}")))
     return kw
 
@@ -94,12 +96,19 @@ def mode_run():
     )
     ref_by_seed = {r["seed"]: r for r in ref["rows"]}
 
-    rows, ratios = [], []
+    rows, ratios, dir_match = [], [], 0
     for seed in SEEDS:
         r = bench.run_case(seed, N, dtype=jnp.float32, timed=False, **_sim_kw())
         r["dtype"] = "float32"
         r["rmse_post_ref"] = ref_by_seed[seed]["rmse_post"]
         r["ratio"] = r["rmse_post"] / r["rmse_post_ref"]
+        # does the f32 posterior improve/worsen vs its prior the same way
+        # the f64 one does? (worse-than-prior posteriors happen in f64 too —
+        # they are properties of the realization, not the arithmetic)
+        f64_improves = ref_by_seed[seed]["rmse_post"] < ref_by_seed[seed]["rmse_prior"]
+        f32_improves = r["rmse_post"] < r["rmse_prior"]
+        r["improves_matches_f64"] = bool(f32_improves == f64_improves)
+        dir_match += r["improves_matches_f64"]
         ratios.append(r["ratio"])
         print(r, flush=True)
         rows.append(r)
@@ -115,6 +124,7 @@ def mode_run():
         ratio_median=round(median, 4),
         ratio_max=round(max(ratios), 4),
         ratio_min=round(min(ratios), 4),
+        improves_direction_matches=f"{dir_match}/{len(SEEDS)}",
         threshold=THRESHOLD,
         ok=bool(median <= THRESHOLD),
     )
