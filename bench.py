@@ -274,15 +274,19 @@ def _parity_fields():
 
 
 def bench_sim_kwargs():
-    """The official bench solver settings. tol 5e-4 / maxiter 512 / patience
-    192 is the measured quality-speed point where the multi-seed f32/f64
-    posterior-RMSE ratio passes (median 1.049 <= 1.05, scripts/parity.py)
-    at +2.2 s over the fastest settings — the two-pass straggler recook
-    makes the extra iterations cheap (only hard members pay)."""
+    """The official bench solver settings. Measured quality-speed curve
+    (multi-seed f32/f64 posterior-RMSE ratio from scripts/parity.py vs
+    single-chip bench wall-clock; the two-pass straggler recook makes extra
+    iterations cheap — only hard members pay):
+        tol 2e-3 / 256 / 128: 11.6 s, ratio 1.078 (FAIL > 1.05)
+        tol 5e-4 / 512 / 192: 13.9 s, ratio 1.049 (pass)
+        tol 2e-4 / 768 / 256: 15.4 s, ratio 0.993 (pass; f32 ~= f64)
+    Default: the last — statistically indistinguishable from the float64
+    reference."""
     return dict(
-        patience_iters=int(os.environ.get("BENCH_PATIENCE", "192")),
-        tol=float(os.environ.get("BENCH_TOL", "5e-4")),
-        maxiter=int(os.environ.get("BENCH_MAXITER", "512")),
+        patience_iters=int(os.environ.get("BENCH_PATIENCE", "256")),
+        tol=float(os.environ.get("BENCH_TOL", "2e-4")),
+        maxiter=int(os.environ.get("BENCH_MAXITER", "768")),
     )
 
 
