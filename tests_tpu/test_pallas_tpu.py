@@ -207,3 +207,40 @@ def test_es_mda_posterior_pallas_vs_xla_on_tpu(key):
         np.asarray(jnp.mean(post_pl, 0)) - np.asarray(jnp.mean(post_x, 0))
     )
     assert np.percentile(mdiff, 95) < 0.15, np.percentile(mdiff, 95)
+
+
+def test_iles_domains_flagship_scale(key):
+    """The localized iterative smoother at the flagship 64x64 grid — the
+    per-cell ILES would need (4096, N, N) weights (impossible); the
+    domain-batched variant runs it on-chip with (256, N, N)."""
+    from historymatching_tpu.da.localization import domain_partition
+    from historymatching_tpu.da.update import decorrelator, iles_domains
+    from historymatching_tpu.parallel.runner import obs_ens_fn, prod_inds
+    from historymatching_tpu.utils import gaussian_noise, temporal_R
+    from historymatching_tpu.da.geostat import gaussian_fields_fft
+
+    m = default_model(64, 64)
+    nTime, N = 10, 128
+    k_t, k_p, k_n, k_pert = jax.random.split(key, 4)
+    truth = gaussian_fields_fft(k_t, m.grid, N=1, r=0.8, dtype=jnp.float32)[0]
+    prior = gaussian_fields_fft(k_p, m.grid, N=N, r=0.8, dtype=jnp.float32)
+    fwd = obs_ens_fn(m, 0.025, nTime)
+    prod_t = fwd(truth[None])[0]
+    _, R12 = temporal_R(nTime, m.nPrd)
+    R12 = jnp.asarray(R12, jnp.float32)
+    obs = jnp.clip(prod_t + R12 @ jax.random.normal(k_n, prod_t.shape,
+                                                    dtype=jnp.float32), 0, 1)
+    domains, taper_dom = domain_partition(
+        m.grid, np.asarray(prod_inds(m)), nTime=nTime, steps=(4, 4), radius=1.2
+    )
+    post, stats = iles_domains(
+        prior, fwd, obs, gaussian_noise(k_pert, N, obs.shape[0], L=R12),
+        decorrelator(R12).astype(jnp.float32),
+        jnp.asarray(taper_dom, jnp.float32), domains, xStep=0.4, iMax=2,
+    )
+    post = np.asarray(post)
+    assert post.shape == (N, m.Nxy)
+    assert np.all(np.isfinite(post))
+    # the GN step must have moved the ensemble, and not exploded
+    prior_np = np.asarray(prior)
+    assert 1e-4 < np.abs(post - prior_np).max() < 50.0
