@@ -78,3 +78,24 @@ def test_ies_f32_stays_finite():
     )
     assert bool(jnp.isfinite(post).all())
     assert bool(jnp.isfinite(stats["Eo"]).all())
+
+
+def test_parity_artifacts_match_bench_defaults():
+    """The committed parity artifacts must describe the OFFICIAL bench
+    solver settings — changing bench defaults requires re-running
+    scripts/parity.py so the quality claim stays attached to the config."""
+    import json
+    import os
+
+    import bench
+
+    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "parity", "PARITY_TPU.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("no parity artifacts")
+    with open(path) as f:
+        p = json.load(f)
+    assert p["sim_kwargs"] == bench.bench_sim_kwargs()
+    assert p["ok"] is True
