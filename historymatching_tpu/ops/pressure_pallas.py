@@ -327,10 +327,15 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
             # same algorithm, so converged members are bit-unaffected and
             # stragglers get at least the old budget. Measured: most
             # members need < 64 iters/solve while program maxes ran ~246.
+            J1 = int(os.environ.get("HM_TWOPASS_J1", "64"))
+            frac = int(os.environ.get("HM_TWOPASS_DIV", "4"))  # 1/frac recooked
+            # Engage whenever there are at least two programs — small batches
+            # gain little, but the quality-parity harness (N=48) must
+            # exercise the SAME code path the flagship bench runs.
             two_pass = (
                 os.environ.get("HM_TWOPASS", "1") == "1"
-                and maxiter > 64
-                and Nb >= 8 * group
+                and maxiter > J1
+                and Nb >= 2 * group
             )
             if not two_pass:
                 p, it, rel = packed_solve(hier_flat_b, Ainv_b, q_b, p0_b, w_b,
@@ -338,8 +343,8 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
                 return ((p[:axis_size], it[:axis_size], rel[:axis_size]),
                         (True, True, True))
 
-            p1, it1, rel1 = packed_solve(hier_flat_b, Ainv_b, q_b, p0_b, w_b, 64)
-            K = max(group, (Nb // 4 // group) * group)  # worst ~25%
+            p1, it1, rel1 = packed_solve(hier_flat_b, Ainv_b, q_b, p0_b, w_b, J1)
+            K = max(group, (Nb // frac // group) * group)
             _, idx = jax.lax.top_k(rel1, K)
             take = lambda x: x[idx]  # noqa: E731
             p2, it2, rel2 = packed_solve(
