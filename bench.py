@@ -269,6 +269,10 @@ def _parity_fields():
         "parity_N": p.get("N"),
         "parity_rmse_ratio_median": p.get("ratio_median"),
         "parity_rmse_ratio_max": p.get("ratio_max"),
+        # per-seed improve/worsen direction vs the f64 reference: worse-than-
+        # prior posteriors at some seeds (e.g. the default bench seed) occur
+        # in float64 too — realization property, not f32 arithmetic.
+        "parity_improves_direction_matches_f64": p.get("improves_direction_matches"),
         "parity_ok": p.get("ok"),
     }
 
