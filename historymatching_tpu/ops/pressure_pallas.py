@@ -347,10 +347,34 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
             K = max(group, (Nb // frac // group) * group)
             _, idx = jax.lax.top_k(rel1, K)
             take = lambda x: x[idx]  # noqa: E731
-            p2, it2, rel2 = packed_solve(
-                tuple(take(h) for h in hier_flat_b), take(Ainv_b), take(q_b),
-                take(p1), take(w_b), maxiter,
-            )
+            hier_k = tuple(take(h) for h in hier_flat_b)
+            Ainv_k, q_k, w_k = take(Ainv_b), take(q_b), take(w_b)
+            p2, it2, rel2 = packed_solve(hier_k, Ainv_k, q_k, take(p1), w_k,
+                                         maxiter)
+
+            if os.environ.get("HM_REFINE", "1") == "1":
+                # Pass 3 — iterative refinement for the same stragglers: the
+                # f32 floor is the *measurement* noise of r = q - A x, so
+                # compute the replacement residual ONCE with compensated
+                # (double-single) arithmetic in XLA-land (cheap there; it was
+                # 7-40x too slow inside Mosaic) and solve the correction.
+                from historymatching_tpu.ops.stencil import stencil_residual_ds
+
+                TXk, TYk, diagk = hier_k[0], hier_k[1], hier_k[2]
+                r_ds = stencil_residual_ds(TXk, TYk, diagk, p2, q_k)
+                d3, it3, rel3 = packed_solve(
+                    hier_k, Ainv_k, r_ds, jnp.zeros_like(r_ds), w_k, 96
+                )
+                p2 = p2 + d3
+                it2 = it2 + it3
+                # rel3 is relative to ||w r_ds||; rescale to ||w q||.
+                num = jnp.linalg.norm((w_k * r_ds).reshape(K, -1), axis=1)
+                den = jnp.maximum(
+                    jnp.linalg.norm((w_k * q_k).reshape(K, -1), axis=1),
+                    jnp.finfo(q_k.dtype).tiny,
+                )
+                rel2 = jnp.minimum(rel2, rel3 * num / den)
+
             p = p1.at[idx].set(p2)
             it = it1.at[idx].add(it2)
             rel = rel1.at[idx].set(rel2)
