@@ -1,31 +1,41 @@
 #!/usr/bin/env python
 """Multi-seed posterior-quality parity harness (BASELINE.md: "posterior-mean
-RMSE parity with CPU reference"; VERDICT round-1 item 2).
+RMSE parity with CPU reference"; VERDICT round-1 item 2, round-2 items 1-2).
 
-Two modes:
+Two modes, each for the global and the localized workload:
 
-  python scripts/parity.py ref           # CPU float64 reference (slow)
+  python scripts/parity.py ref [--loc]    # CPU float64 reference (slow)
       Runs the bench configuration (64x64, nTime=40, ES-MDA(4)) at N=PARITY_N
-      members for seeds 1..5 on the CPU backend in float64 (the XLA path —
-      no Pallas, no f32 floors) and writes parity/cpu_f64_refs.json.
-      Committed: the reference is deterministic per seed.
+      members for seeds PARITY_SEEDS on the CPU backend in float64 (the XLA
+      path — no Pallas, no f32 floors) and writes parity/cpu_f64_refs.json
+      (parity/cpu_f64_refs_loc.json with --loc: the BASELINE-named "ES-MDA
+      with distance-based localization" config, domain-batched radius-1.2
+      bump taper). Committed: the reference is deterministic per seed.
 
-  python scripts/parity.py run           # current backend (run on TPU)
+  python scripts/parity.py run [--loc]    # current backend (run on TPU)
       Same seeds/config in float32 on the default backend (on TPU: Pallas
-      kernels — the exact bench pipeline), compares posterior-mean RMSE per
-      seed against the committed reference, writes parity/PARITY_TPU.json
-      with the per-seed ratios. PASS criterion (folded into bench.py output):
+      kernels + the two-pass straggler recook — the exact bench pipeline),
+      compares posterior-mean RMSE per seed against the committed reference,
+      writes parity/PARITY_TPU.json (PARITY_TPU_LOC.json with --loc) with the
+      per-seed ratios. PASS criterion (folded into bench.py output):
       median(rmse_post_f32 / rmse_post_f64) <= 1.05.
+
+Branch matching: N defaults to 192 > p = 160 obs, so the analysis takes the
+SAME obs-space `_kalman_term` branch as the official N=1000 bench (N < p
+would exercise the ensemble-space Woodbury form instead — proven equivalent
+in f64, but the claim under test is f32 behavior on the production branch).
+The two-pass straggler recook engages at N=192 (>= 2 Mosaic programs), so
+the kernel path is the production one too.
 
 Both sides consume bit-identical float32 stochastic inputs (truth field,
 prior, obs noise) from bench.build_case; each side runs its own truth
-simulation + obs synthesis (part of the pipeline under test). N defaults to
-100 (not 1000): kernel-accuracy parity is N-independent, and the CPU-f64
-reference at N=1000 would take hours; the sampling error the posterior
-carries at N=100 is identical on both sides because the draws are paired.
+simulation + obs synthesis (part of the pipeline under test). The sampling
+error the posterior carries at N=192 is identical on both sides because the
+draws are paired.
 
-Env: PARITY_N (default 100), PARITY_SEEDS (comma list, default 1,2,3,4,5),
-PARITY_SIM_KW (json dict of simulate kwargs, e.g. '{"patience_iters": 192}').
+Env: PARITY_N (default 192 — must match the committed refs), PARITY_SEEDS
+(comma list, default 1,2,3), PARITY_SIM_KW (json dict of simulate kwargs
+for the f32 side, default bench settings), PARITY_REF_SIM_KW (ditto, f64).
 """
 
 import json
@@ -36,9 +46,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 OUT_DIR = os.path.join(REPO, "parity")
 
-SEEDS = [int(s) for s in os.environ.get("PARITY_SEEDS", "1,2,3,4,5").split(",")]
-N = int(os.environ.get("PARITY_N", "100"))
+SEEDS = [int(s) for s in os.environ.get("PARITY_SEEDS", "1,2,3").split(",")]
+N = int(os.environ.get("PARITY_N", "192"))
 THRESHOLD = 1.05
+
+
+def ref_path(loc):
+    return os.path.join(OUT_DIR, "cpu_f64_refs_loc.json" if loc else "cpu_f64_refs.json")
+
+
+def run_path(loc):
+    return os.path.join(OUT_DIR, "PARITY_TPU_LOC.json" if loc else "PARITY_TPU.json")
 
 
 def _sim_kw():
@@ -50,16 +68,24 @@ def _sim_kw():
 
 
 def _ref_sim_kw():
-    """f64 reference solver effort: tol 1e-8 (5 orders below any f32 floor)
-    with bounded budgets — the f64 DEFAULTS (tol 1e-10, maxiter Nxy=4096)
-    grind for hours per seed on this machine's single CPU core without
-    changing the posterior at the digits the ratio test reads."""
-    kw = dict(tol=1e-8, maxiter=768, patience_iters=192)
+    """f64 reference solver effort. tol 1e-7 is >= 3 orders below every f32
+    floor we have measured (p99 ~ 2e-4, worst tails ~ 4e-2) and the f64
+    MG-PCG actually REACHES it — the reference is convergence-limited, not
+    budget-limited. maxiter/patience equal the f32 production budget
+    (bench_sim_kwargs: 768/256) so the f64 oracle can never be iteration-
+    starved relative to the f32 run under test (round-2 VERDICT weak #1: the
+    old refs ran maxiter 256 < 768). The f64 DEFAULTS (tol 1e-10, maxiter
+    Nxy=4096) grind for hours per seed on this machine's single CPU core
+    without changing the posterior at the digits the ratio test reads.
+
+    tests/test_bench_flow.py asserts the committed artifacts carry exactly
+    these settings (both the ref and the run side)."""
+    kw = dict(tol=1e-7, maxiter=768, patience_iters=256)
     kw.update(json.loads(os.environ.get("PARITY_REF_SIM_KW", "{}")))
     return kw
 
 
-def mode_ref():
+def mode_ref(loc):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -71,25 +97,26 @@ def mode_ref():
 
     rows = []
     for seed in SEEDS:
-        r = bench.run_case(seed, N, dtype=jnp.float64, timed=False, **_ref_sim_kw())
+        r = bench.run_case(seed, N, dtype=jnp.float64, timed=False, loc=loc,
+                           **_ref_sim_kw())
         r["dtype"] = "float64"
         print(r, flush=True)
         rows.append(r)
     os.makedirs(OUT_DIR, exist_ok=True)
-    out = dict(N=N, seeds=SEEDS, config="64x64 nTime=40 ES-MDA(4)",
+    out = dict(N=N, seeds=SEEDS, loc=loc, config="64x64 nTime=40 ES-MDA(4)",
                sim_kwargs=_ref_sim_kw(), backend="cpu", rows=rows)
-    with open(os.path.join(OUT_DIR, "cpu_f64_refs.json"), "w") as f:
+    with open(ref_path(loc), "w") as f:
         json.dump(out, f, indent=1)
-    print("wrote parity/cpu_f64_refs.json")
+    print(f"wrote {ref_path(loc)}")
 
 
-def mode_run():
+def mode_run(loc):
     import jax
     import jax.numpy as jnp
 
     import bench
 
-    with open(os.path.join(OUT_DIR, "cpu_f64_refs.json")) as f:
+    with open(ref_path(loc)) as f:
         ref = json.load(f)
     assert ref["N"] == N and ref["seeds"] == SEEDS, (
         "reference config mismatch: regenerate with scripts/parity.py ref"
@@ -98,7 +125,8 @@ def mode_run():
 
     rows, ratios, dir_match = [], [], 0
     for seed in SEEDS:
-        r = bench.run_case(seed, N, dtype=jnp.float32, timed=False, **_sim_kw())
+        r = bench.run_case(seed, N, dtype=jnp.float32, timed=False, loc=loc,
+                           **_sim_kw())
         r["dtype"] = "float32"
         r["rmse_post_ref"] = ref_by_seed[seed]["rmse_post"]
         r["ratio"] = r["rmse_post"] / r["rmse_post_ref"]
@@ -118,7 +146,8 @@ def mode_run():
         ratios_sorted[len(ratios) // 2 - 1] + ratios_sorted[len(ratios) // 2]
     )
     out = dict(
-        N=N, seeds=SEEDS, config=ref["config"], sim_kwargs=_sim_kw(),
+        N=N, seeds=SEEDS, loc=loc, config=ref["config"], sim_kwargs=_sim_kw(),
+        ref_sim_kwargs=ref["sim_kwargs"],
         backend=jax.devices()[0].platform,
         rows=rows,
         ratio_median=round(median, 4),
@@ -128,18 +157,21 @@ def mode_run():
         threshold=THRESHOLD,
         ok=bool(median <= THRESHOLD),
     )
-    with open(os.path.join(OUT_DIR, "PARITY_TPU.json"), "w") as f:
+    with open(run_path(loc), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("ratio_median", "ratio_min", "ratio_max", "ok")}))
-    print("wrote parity/PARITY_TPU.json")
+    print(f"wrote {run_path(loc)}")
 
 
 if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    argv = sys.argv[1:]
+    loc = "--loc" in argv
+    argv = [a for a in argv if a != "--loc"]
+    mode = argv[0] if argv else "run"
     if mode == "ref":
-        mode_ref()
+        mode_ref(loc)
     elif mode == "run":
-        mode_run()
+        mode_run(loc)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (use 'ref' or 'run')")
+        raise SystemExit(f"unknown mode {mode!r} (use 'ref'/'run' [--loc])")
