@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
         "--cases",
-        default="inj_xy,x_only,two_inj,rate,multi_rate,time_rates,robust,pareto",
+        default="inj_xy,x_only,two_inj,rate,multi_rate,time_rates,robust,pareto,toys",
     )
     ap.add_argument("--seed", type=int, default=23)
     ap.add_argument("--plot", action="store_true", help="write figures to --outdir")
@@ -303,6 +303,64 @@ def main():
             sales.append(float(led["oil"]))
             emissions.append(-(float(led["inj"]) + float(led["wat"])))
         print("[pareto] sales:", np.round(sales, 2), " emissions:", np.round(emissions, 2))
+
+    # ---- Case: toy-objective GD trial sweep (reference Optimise.py:352-421) -
+    # Headless analogue of the reference's interactive trial dashboard
+    # (sliders: case, seed, nTrial, aspect, xStep, sdev, precond, nrmlz,
+    # nEns): a grid of configurations x random starts, each trial one
+    # on-device `gd_scan`, printed as a table of median initial -> final
+    # objective. The rastrigin row with sdev 0.3 shows the EnOpt smoothing
+    # effect (large mutation radius averages out the ripples -> escapes
+    # local minima that trap the sdev 0.05 row).
+    if "toys" in cases:
+        from historymatching_tpu.opt.enopt import gd_scan
+
+        def quadratic(u):
+            return jnp.mean(u * u, axis=-1)
+
+        def rosenbrock(u):
+            u = u * 3.0
+            t1 = u[..., 1:] - u[..., :-1] ** 2
+            t2 = u[..., :-1] - 1
+            return jnp.sum(100 * t1 * t1 + t2 * t2, axis=-1)
+
+        def rastrigin(u):
+            u = u * 5.12
+            return 20 + jnp.sum(u * u - 5 * jnp.cos(2 * jnp.pi * u), axis=-1)
+
+        toys = dict(quadratic=quadratic, rosenbrock=rosenbrock,
+                    rastrigin=rastrigin)
+        nTrial = 3 if args.small else 5
+        nIter_t = 20 if args.small else 40
+        grid = [
+            # (case, aspect, sdev, nEns, precond, nrmlz)
+            ("quadratic", 0.0, 0.1, 10, False, True),
+            ("quadratic", -1.0, 0.1, 10, False, True),   # anisotropic
+            ("quadratic", -1.0, 0.1, 10, True, True),    # precond fixes it
+            ("rosenbrock", 0.0, 0.05, 30, False, True),
+            ("rosenbrock", 0.0, 0.05, 30, False, False),
+            ("rastrigin", 0.0, 0.05, 40, False, True),   # trapped
+            ("rastrigin", 0.0, 0.3, 40, False, True),    # smoothing escapes
+        ]
+        print(f"[toys] GD trial sweep ({nTrial} starts, {nIter_t} iters)")
+        print(f"  {'case':<11}{'aspect':>7}{'sdev':>6}{'nEns':>5}"
+              f"{'precond':>8}{'nrmlz':>6}{'med(J0)':>10}{'med(Jend)':>10}")
+        for name, aspect, sdev, nEns, precond, nrmlz in grid:
+            f = toys[name]
+            scale = jnp.array([1.0, 10.0 ** aspect])
+            obj = lambda u, f=f, scale=scale: f(u * scale)  # noqa: E731
+            J0s, Jns = [], []
+            for i in range(nTrial):
+                k_u, k_gd = jax.random.split(jax.random.PRNGKey(100 * args.seed + i))
+                u0 = 2.0 * (jax.random.uniform(k_u, (2,)) - 0.5)
+                _, objs_t, _ = gd_scan(obj, u0, chol=sdev, nEns=nEns,
+                                       precond=precond, nrmlz=nrmlz, sign=-1,
+                                       nIter=nIter_t, key=k_gd)
+                J0s.append(float(objs_t[0]))
+                Jns.append(float(objs_t[-1]))
+            print(f"  {name:<11}{aspect:>7.1f}{sdev:>6.2f}{nEns:>5}"
+                  f"{str(precond):>8}{str(nrmlz):>6}"
+                  f"{np.median(J0s):>10.3f}{np.median(Jns):>10.3f}")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,24 @@ def dist_to_obs(grid, obs_inds, nTime=1, domain=None):
     return pairwise_distances(xy_prm, xy_obs, domain=domain)
 
 
+def dist_to_moving_obs(grid, xy_paths, domain=None):
+    """Distances from every cell centre to TIME-DEPENDENT observation
+    locations — the reference's experimental "moving mask" localization
+    (HistoryMatch.py:853-858, disabled there by default): co-locate each
+    observation's taper with the path of its correlation maxima
+    (`xy_max_corr`) instead of centering it on the well for all times.
+
+    xy_paths (nPrd, nTime, 2) as returned by `xy_max_corr`. Returns
+    (Nxy, nTime*nPrd) with the same flat obs ordering as `dist_to_obs`
+    (flat index = t*nPrd + well, well varying fastest — matching `vect`).
+    Feed `bump(result / radius)` as the taper of `ens_update0_loc`."""
+    xy_paths = np.asarray(xy_paths)
+    nPrd, nTime, _ = xy_paths.shape
+    xy_prm = np.asarray(grid.ind2xy(np.arange(grid.Nxy))).T  # (Nxy, 2)
+    xy_obs = xy_paths.transpose(1, 0, 2).reshape(nTime * nPrd, 2)
+    return pairwise_distances(xy_prm, xy_obs, domain=domain)
+
+
 def xy_max_corr(grid, param_ens, prod_ens, t_min=6):
     """Trajectories of the correlation-field maxima per well over time
     (reference HistoryMatch.py:829-842): for each producer and time step,

@@ -362,6 +362,11 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=No
     given) with R -> alpha_i R: perturbs *= sqrt(alpha_i),
     decorr /= sqrt(alpha_i). With alphas = [1.0] this is exactly one ES step.
 
+    `forward_obs` may also be a SEQUENCE of per-pass callables (len(alphas))
+    — e.g. a cheaper solver tolerance for the early passes, whose
+    innovations only steer intermediate ensembles, and the full-accuracy
+    operator for the final pass(es).
+
     `noise_dtype` (default float32): the perturbation draws are made in this
     dtype and cast to the pipeline's — so float32 and float64 runs of the
     same key see IDENTICAL noise (paired-seed parity testing); pass None to
@@ -374,9 +379,15 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=No
     N = E.shape[0]
     dec0 = decorrelator(R12).astype(dtype)
     R12_noise = R12.astype(noise_dtype) if noise_dtype is not None else R12
-    for a in jnp.asarray(alphas).astype(dtype):
+    alphas = jnp.asarray(alphas).astype(dtype)
+    fwd_per_pass = (list(forward_obs) if isinstance(forward_obs, (list, tuple))
+                    else [forward_obs] * len(alphas))
+    if len(fwd_per_pass) != len(alphas):
+        raise ValueError(f"{len(fwd_per_pass)} forward operators for "
+                         f"{len(alphas)} MDA passes")
+    for a, fwd in zip(alphas, fwd_per_pass):
         key, sub = jax.random.split(key)
-        Eo = jnp.asarray(forward_obs(E)).astype(dtype)
+        Eo = jnp.asarray(fwd(E)).astype(dtype)
         perturbs = jnp.sqrt(a) * gaussian_noise(sub, N, p, L=R12_noise).astype(dtype)
         dec = dec0 / jnp.sqrt(a)
         if domains is not None:

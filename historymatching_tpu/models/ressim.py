@@ -272,7 +272,9 @@ def _source_field(model: ResSim, inj_t, prd_t):
 
 
 def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg",
-                  use_pallas=False, patience_iters=96, scale_system=True):
+                  use_pallas=False, patience_iters=96, scale_system=True,
+                  packed=True, two_pass=True, twopass_j1=64, twopass_div=4,
+                  refine=True):
     """TPFA pressure solve for saturation field `s` (Nx, Ny) and source `q`.
     Returns (p, Fx, Fy, iters, accepted). `accepted` compares the achieved
     true relative residual against `tol_accept` (defaults to `tol`) — float32
@@ -341,7 +343,8 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
             w = jnp.ones_like(diag) if mweight is None else mweight
             y, iters, rel_res = pressure_solve_vmappable(
                 hier_flat, Ainv3, q_solve, p0_solve, w, tol=tol, maxiter=maxiter,
-                patience_iters=patience_iters,
+                patience_iters=patience_iters, packed=packed, two_pass=two_pass,
+                twopass_j1=twopass_j1, twopass_div=twopass_div, refine=refine,
             )
             p = unscale(y)
             Fx, Fy = face_fluxes(TXo, TYo, p)
@@ -370,7 +373,8 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
     return p, Fx, Fy, iters, accepted
 
 
-def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_pallas=False):
+def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_pallas=False,
+                   packed=True):
     """Explicit upwind transport over one outer step `dt`, with CFL-limited
     sub-stepping (matlab-origin rule: pm = min(pv/influx),
     cfl = (1-swc-sor)/3 * pm, Nts = ceil(dt/cfl)).
@@ -405,7 +409,7 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
         # ensemble vmap the rule dispatches the block-batched kernel (the
         # block runs to its max CFL count with per-member freeze masks).
         s = transport_substeps_vmappable(s, Fx, Fy, q, dts / pv, n_sub,
-                                         fluid_t=fluid_t)
+                                         fluid_t=fluid_t, packed=packed)
         return s, n_sub
 
     def substep(_, s):
@@ -432,18 +436,28 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
     jax.jit,
     static_argnames=(
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
-        "patience_iters", "scale_system",
+        "patience_iters", "scale_system", "packed", "two_pass", "twopass_j1",
+        "twopass_div", "refine",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
              max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96,
-             scale_system=True):
+             scale_system=True, packed=True, two_pass=True, twopass_j1=64,
+             twopass_div=4, refine=True):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
     last row of a previous run's `wsats` as `wsat0`. Fully jit/vmap-able.
     jitted at the API boundary (the TPU backend here cannot eager-dispatch
     loop primitives, and per-op dispatch would be slow anyway).
+
+    `packed` / `two_pass` / `twopass_j1` / `twopass_div` / `refine` are the
+    Pallas batched-path strategy knobs (lane packing, straggler recook,
+    iterative refinement — see `ops.pressure_pallas.pressure_solve_vmappable`).
+    They are explicit static kwargs so the compiled program always matches
+    the configuration it reports: env-var reads at trace time (the round-2
+    scheme) are silently ignored by the jit cache on same-shape re-calls.
+    They only affect the TPU (`use_pallas`) path.
     """
     g = model.grid
     dtype = jnp.result_type(jnp.asarray(wsat0).dtype, float)
@@ -491,9 +505,11 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         # start). Do not reintroduce without multi-seed validation.
         p, Fx, Fy, iters, conv = pressure_step(
             model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas,
-            patience_iters, scale_system
+            patience_iters, scale_system, packed, two_pass, twopass_j1,
+            twopass_div, refine,
         )
-        s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps, use_pallas)
+        s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps,
+                                      use_pallas, packed)
         return (s_new, p), (s_new.reshape(-1), iters, conv, n_sub)
 
     p0 = jnp.zeros(g.shape, dtype=dtype) + s0 * 0  # same vma as s0

@@ -244,9 +244,11 @@ def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False, omega_c=1.4)
 
 
 def _agg_matrix_grouped(n, P, dtype):
-    """(n/2, n) 2->1 aggregation WITHIN each of P equal lane blocks:
-    coarse packed lane c (member g = c // (nc/P... block-local 2J,2J+1).
-    Built from iota (Pallas forbids captured array constants)."""
+    """(n/2, n) 2->1 aggregation WITHIN each of P equal lane blocks: coarse
+    packed lane c belongs to member g = c // (n/2/P) at block-local offset
+    j = c - g*(n/2/P), and sums fine lanes g*(n/P) + 2j and + 2j + 1 —
+    aggregation never crosses a member seam. Built from iota (Pallas
+    forbids captured array constants)."""
     nc = n // 2
     ny_c = nc // P  # coarse per-member width
     row = jax.lax.broadcasted_iota(jnp.int32, (nc, n), 0)

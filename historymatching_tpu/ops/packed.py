@@ -107,18 +107,13 @@ def grouped_vdot(u, v, P):
     """Per-packed-member dot products, returned broadcast to full field
     shape (each member's lanes carry its own scalar).
 
-    Reductions go one axis at a time and the broadcast happens right after
-    (Mosaic layout discipline, see ops/cg.py); the per-group separation is a
-    masked second reduction over the lane axis — wait, lane-axis reductions
-    are the expensive/layout-tricky ones, so instead each group's
-    contribution is isolated by a mask BEFORE the (non-lane) reductions and
-    the lane axis is reduced by summing shifted copies... Simpler and
-    Mosaic-proven: mask -> reduce axis 1 (sublane rows) -> reduce axis 0 ->
-    the result is a lane VECTOR (1, 1, W) holding per-lane column sums; the
-    per-member total needs a sum over that member's Ny lanes. That final
-    within-row reduction is done with a small matmul against a grouped
-    aggregation matrix (W, W) that sums each member's lane block and
-    broadcasts it back — one MXU op, no unsupported lane reductions.
+    Scheme (Mosaic layout discipline, see ops/cg.py): reduce every non-lane
+    axis one at a time with keepdims, leaving a lane vector (..., 1, W) of
+    per-lane column sums; then aggregate each member's Ny-lane block AND
+    broadcast the total back across those lanes in one step by multiplying
+    with a block-diagonal 0/1 aggregation matrix G (W, W), G[a, b] = 1 iff
+    lanes a, b belong to the same member — a single MXU matmul, avoiding
+    lane-axis reductions (unsupported/expensive in Mosaic).
     """
     s = u * v
     # Reduce all axes except the lane axis — and except a leading BATCH axis

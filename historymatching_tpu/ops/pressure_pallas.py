@@ -250,7 +250,9 @@ def _pack_args(hier_flat, Ainv, q, p0, w, P):
 
 
 def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart_every=8,
-                             nu=2, patience_iters=96, compensated=False, block=8):
+                             nu=2, patience_iters=96, compensated=False, block=8,
+                             packed=True, two_pass=True, twopass_j1=64,
+                             twopass_div=4, refine=True, interpret=False):
     """Per-member pressure solve whose `vmap` rule is the blocked kernel.
 
     Unbatched calls run the per-member fused kernel; under `jax.vmap` (the
@@ -258,6 +260,18 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
     rule pads the member axis to a multiple of `block` and dispatches
     `pressure_solve_pallas_batched` — so the whole simulator keeps its
     clean per-member formulation while the hot solve runs block-batched.
+
+    The batched-path strategy knobs are explicit (static) kwargs — NOT env
+    vars: the rule runs at trace time of the enclosing jit, so env reads
+    would be silently frozen into the compiled program per shape (round-2
+    ADVICE). They thread from `simulate(...)`:
+      packed      : lane-pack P = 128//Ny members per lane row when it fits.
+      two_pass    : straggler recook (short pass 1, re-solve the worst
+                    1/twopass_div of members warm-started with the full
+                    budget). Engages only when >= 2 Mosaic programs.
+      twopass_j1  : pass-1 iteration cap.
+      refine      : pass-3 iterative refinement of the recooked members with
+                    a compensated (double-single) replacement residual.
     """
 
     @jax.custom_batching.custom_vmap
@@ -265,6 +279,7 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
         return pressure_solve_pallas(
             hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every=restart_every,
             nu=nu, patience_iters=patience_iters, compensated=compensated,
+            interpret=interpret,
         )
 
     @solve.def_vmap
@@ -281,12 +296,8 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
 
         # Lane packing factor: P members per 128-lane row (ops/packed.py) —
         # at the flagship Ny = 64 the unpacked kernels waste half the lanes.
-        import os
-
         Ny = q.shape[-1]
-        P = 128 // Ny if (Ny <= 64 and 128 % Ny == 0) else 1
-        if os.environ.get("HM_PACKED", "1") != "1":
-            P = 1
+        P = 128 // Ny if (packed and Ny <= 64 and 128 % Ny == 0) else 1
 
         # Packed sweet spot (measured, N=128 x 256 fixed iters, 64x64):
         # blocked block=8: 80 ms; packed 8/16/32 members-per-program:
@@ -311,7 +322,7 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
                 pp, it_p, rel_p = pressure_solve_pallas_packed(
                     hier_p, Ainv_p, q_p, p0_p, w_p, P, tol, miter,
                     restart_every=restart_every, nu=nu, block_pairs=block_pairs,
-                    patience_iters=patience_iters,
+                    patience_iters=patience_iters, interpret=interpret,
                 )
                 return (unpack_cells(pp, P),
                         it_p[:, 0, ::Ny].reshape(-1),
@@ -327,17 +338,13 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
             # same algorithm, so converged members are bit-unaffected and
             # stragglers get at least the old budget. Measured: most
             # members need < 64 iters/solve while program maxes ran ~246.
-            J1 = int(os.environ.get("HM_TWOPASS_J1", "64"))
-            frac = int(os.environ.get("HM_TWOPASS_DIV", "4"))  # 1/frac recooked
+            J1 = twopass_j1
+            frac = twopass_div  # 1/frac of members recooked
             # Engage whenever there are at least two programs — small batches
-            # gain little, but the quality-parity harness (N=48) must
+            # gain little, but the quality-parity harness (N=192) must
             # exercise the SAME code path the flagship bench runs.
-            two_pass = (
-                os.environ.get("HM_TWOPASS", "1") == "1"
-                and maxiter > J1
-                and Nb >= 2 * group
-            )
-            if not two_pass:
+            engage = two_pass and maxiter > J1 and Nb >= 2 * group
+            if not engage:
                 p, it, rel = packed_solve(hier_flat_b, Ainv_b, q_b, p0_b, w_b,
                                           maxiter)
                 return ((p[:axis_size], it[:axis_size], rel[:axis_size]),
@@ -352,7 +359,7 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
             p2, it2, rel2 = packed_solve(hier_k, Ainv_k, q_k, take(p1), w_k,
                                          maxiter)
 
-            if os.environ.get("HM_REFINE", "1") == "1":
+            if refine:
                 # Pass 3 — iterative refinement for the same stragglers: the
                 # f32 floor is the *measurement* noise of r = q - A x, so
                 # compute the replacement residual ONCE with compensated
@@ -367,13 +374,17 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
                 )
                 p2 = p2 + d3
                 it2 = it2 + it3
-                # rel3 is relative to ||w r_ds||; rescale to ||w q||.
+                # rel3 is relative to ||w r_ds||; rescaled by ||w r_ds||/||w q||
+                # it IS the residual of the refined iterate p2 + d3 (up to
+                # f32 in the correction solve). Report it alone — taking
+                # min() with the stale pre-refinement rel2 could flatter the
+                # `accepted`/cg_ok flags when the correction solve stalls.
                 num = jnp.linalg.norm((w_k * r_ds).reshape(K, -1), axis=1)
                 den = jnp.maximum(
                     jnp.linalg.norm((w_k * q_k).reshape(K, -1), axis=1),
                     jnp.finfo(q_k.dtype).tiny,
                 )
-                rel2 = jnp.minimum(rel2, rel3 * num / den)
+                rel2 = rel3 * num / den
 
             p = p1.at[idx].set(p2)
             it = it1.at[idx].add(it2)

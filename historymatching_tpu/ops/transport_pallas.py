@@ -285,9 +285,10 @@ def transport_substeps_pallas_packed(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t,
 
 
 def transport_substeps_vmappable(s, Fx, Fy, q, dts_over_pv, n_sub, *, fluid_t,
-                                 block=8, interpret=False):
+                                 block=8, interpret=False, packed=True):
     """Per-member transport whose `vmap` rule is the blocked kernel
-    (mirrors pressure_solve_vmappable)."""
+    (mirrors pressure_solve_vmappable; `packed` is the same explicit static
+    lane-packing knob — no env reads at trace time)."""
 
     @jax.custom_batching.custom_vmap
     def run(s, Fx, Fy, q, dts_over_pv, n_sub):
@@ -303,12 +304,8 @@ def transport_substeps_vmappable(s, Fx, Fy, q, dts_over_pv, n_sub, *, fluid_t,
         s_b, Fx_b, Fy_b, q_b, dts_b, nsub_b = out
 
         # Lane packing (see ops/packed.py / pressure_solve_vmappable).
-        import os
-
         Ny = s.shape[-1]
-        P = 128 // Ny if (Ny <= 64 and 128 % Ny == 0) else 1
-        if os.environ.get("HM_PACKED", "1") != "1":
-            P = 1
+        P = 128 // Ny if (packed and Ny <= 64 and 128 % Ny == 0) else 1
         block_pairs = 16
         group = (P * block_pairs) if P > 1 else block
 

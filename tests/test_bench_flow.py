@@ -80,22 +80,69 @@ def test_ies_f32_stays_finite():
     assert bool(jnp.isfinite(stats["Eo"]).all())
 
 
-def test_parity_artifacts_match_bench_defaults():
-    """The committed parity artifacts must describe the OFFICIAL bench
-    solver settings — changing bench defaults requires re-running
-    scripts/parity.py so the quality claim stays attached to the config."""
+def _load_parity_artifact(name):
     import json
     import os
 
     import bench
 
     path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
-                        "parity", "PARITY_TPU.json")
+                        "parity", name)
     if not os.path.exists(path):
         import pytest
 
-        pytest.skip("no parity artifacts")
+        pytest.skip(f"no parity artifact {name}")
     with open(path) as f:
-        p = json.load(f)
-    assert p["sim_kwargs"] == bench.bench_sim_kwargs()
-    assert p["ok"] is True
+        return json.load(f)
+
+
+def _parity_script():
+    import importlib
+    import os
+    import sys
+
+    import bench
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                                    "scripts"))
+    try:
+        return importlib.import_module("parity")
+    finally:
+        sys.path.pop(0)
+
+
+def test_parity_artifacts_match_bench_defaults():
+    """The committed f32 parity artifacts must describe the OFFICIAL bench
+    solver settings — changing bench defaults requires re-running
+    scripts/parity.py so the quality claim stays attached to the config."""
+    import bench
+
+    parity = _parity_script()
+    for name in ("PARITY_TPU.json", "PARITY_TPU_LOC.json"):
+        p = _load_parity_artifact(name)
+        assert p["sim_kwargs"] == bench.bench_sim_kwargs(), name
+        assert p["N"] == parity.N and p["seeds"] == parity.SEEDS, name
+        assert p["ok"] is True, name
+
+
+def test_parity_f64_refs_match_script_defaults():
+    """The committed f64 REFERENCE artifacts must carry exactly the solver
+    settings scripts/parity.py documents (round-2 VERDICT weak #1: the old
+    refs were generated at a smaller iteration budget than the script
+    claimed — and smaller than the f32 production budget, a bias in f32's
+    favor). Also pins the branch-matching N: refs at N < p=160 would
+    exercise the ensemble-space analysis branch, not the bench's."""
+    import bench
+
+    parity = _parity_script()
+    ref_kw = parity._ref_sim_kw()
+    bench_kw = bench.bench_sim_kwargs()
+    for name in ("cpu_f64_refs.json", "cpu_f64_refs_loc.json"):
+        r = _load_parity_artifact(name)
+        assert r["sim_kwargs"] == ref_kw, name
+        assert r["N"] == parity.N and r["seeds"] == parity.SEEDS, name
+        assert r["N"] >= 192, "N < p=160+ would flip the analysis branch"
+        # the f64 oracle must never be iteration-starved relative to the
+        # f32 run under test
+        assert ref_kw["maxiter"] >= bench_kw["maxiter"], name
+        assert ref_kw["patience_iters"] >= bench_kw["patience_iters"], name

@@ -25,6 +25,14 @@ def rosenbrock(u):
     return jnp.sum(100 * t1 * t1 + t2 * t2, axis=-1)
 
 
+def rastrigin(u):
+    """Multimodal toy, scaled to the [-1, 1]^2 box (reference
+    Optimise.py:365-367): global minimum 0 at u = 0, with a lattice of local
+    minima of pitch ~0.2 in u — the one toy that probes basin-hopping."""
+    u = u * 5.12
+    return 20 + jnp.sum(u * u - 5 * jnp.cos(2 * jnp.pi * u), axis=-1)
+
+
 def test_gd_quadratic_converges(key):
     path, objs, info = GD(
         quadratic,
@@ -61,6 +69,50 @@ def test_gd_rosenbrock_improves(key):
         key=key,
     )
     assert objs[-1] < 0.2 * objs[0]
+
+
+SMALL_STEPS = tuple(0.05 * 0.5**i for i in range(6))  # stay within one basin
+
+
+def test_gd_rastrigin_local_basin(key):
+    """With a SMALL smoothing radius AND trial steps shorter than the ridge
+    pitch (0.2 in u), the ensemble gradient is near-exact: starting inside
+    the global basin (|5.12 u| < 0.5) GD must converge to the global
+    minimum — value 10 in the reference's scaling, 20 - 2*5 at u = 0 —
+    and not jump ridges."""
+    path, objs, info = GD(
+        rastrigin,
+        jnp.array([0.05, -0.04]),
+        nabla=EnGrad(chol=0.01, nEns=30),
+        line_search=Backtracker(sign=-1, xSteps=SMALL_STEPS),
+        nIter=40,
+        key=key,
+    )
+    assert objs[-1] < 10.1, objs[-1]
+    assert np.all(np.abs(np.asarray(path[-1])) < 0.02)
+
+
+def test_gd_rastrigin_smoothing_escapes_local_minima(key):
+    """The EnOpt property the multimodal toy exists to demonstrate: a LARGE
+    mutation radius Gaussian-smooths the objective — E[f(u + e)] attenuates
+    the cos ripples by exp(-(2 pi sigma_x)^2 / 2) while keeping the u^2
+    bowl — so the ensemble gradient walks THROUGH local minima that trap a
+    (near-)exact-gradient descent started outside the global basin."""
+    u0 = jnp.array([0.55, -0.45])  # many ridges away from the optimum
+    # exact-gradient proxy: tiny smoothing + short steps -> trapped
+    _, objs_small, _ = GD(
+        rastrigin, u0, nabla=EnGrad(chol=0.005, nEns=40),
+        line_search=Backtracker(sign=-1, xSteps=SMALL_STEPS), nIter=60, key=key,
+    )
+    # large smoothing (sigma_x = 5.12 * 0.2 ~ 1): reaches the global basin
+    path_big, objs_big, _ = GD(
+        rastrigin, u0, nabla=EnGrad(chol=0.2, nEns=64),
+        line_search=Backtracker(sign=-1), nIter=60, key=key,
+    )
+    assert np.all(np.abs(np.asarray(path_big[-1])) < 0.15), path_big[-1]
+    assert objs_big[-1] < 12.0, objs_big[-1]  # global basin (local minima >= ~12)
+    assert objs_small[-1] > 15.0, objs_small[-1]  # trapped several ridges out
+    assert objs_big[-1] < objs_small[-1]
 
 
 def test_backtracker_accept_first_semantics():

@@ -282,3 +282,36 @@ def test_transport_packed_matches_per_member(key):
             s[b], Fx[b], Fy[b], q[b], dts_pv[b], n_sub[b], fl_t, interpret=True
         )
         assert np.allclose(np.asarray(packed[b]), np.asarray(single), atol=1e-7), b
+
+
+def test_pressure_strategy_knobs_alter_trace(key):
+    """two_pass / refine / packed are explicit static kwargs threaded from
+    `simulate` down to the custom_vmap rule (round-2 ADVICE: the old env-var
+    reads happened at trace time, so flipping a knob between same-shape
+    calls was silently ignored by the jit cache). Flipping a knob must
+    change the traced program — verified structurally on the jaxpr, no
+    execution/lowering needed (the Mosaic path never compiles on CPU)."""
+    from historymatching_tpu.models.ressim import simulate
+    from historymatching_tpu.parallel.runner import set_perm
+
+    m = default_model(Nx=32, Ny=32)
+    N = 128  # >= 2 Mosaic programs at P=4, block_pairs=16 -> two-pass engages
+    perm = jax.random.normal(key, (N, m.Nxy)).astype(jnp.float32)
+    w0 = jnp.zeros(m.Nxy, jnp.float32)
+
+    def trace(**knobs):
+        def one(p):
+            r = simulate(set_perm(m, p), w0, 0.025, 2, use_pallas=True,
+                         tol=1e-4, maxiter=96, **knobs)
+            return r.cg_iters
+        return str(jax.make_jaxpr(jax.vmap(one))(perm))
+
+    base = trace()
+    assert "top_k" in base  # straggler selection of the two-pass recook
+    no_two_pass = trace(two_pass=False)
+    assert "top_k" not in no_two_pass
+    assert trace(refine=False) != base  # pass-3 refinement dropped
+    no_packed = trace(packed=False)
+    assert "top_k" not in no_packed  # blocked path has no recook
+    assert no_packed != no_two_pass
+    assert trace(twopass_j1=32) != base
