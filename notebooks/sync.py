@@ -64,8 +64,14 @@ def parse_percent(text):
 
 def convert(path):
     path = Path(path)
+    cells = parse_percent(path.read_text())
+    # Deterministic cell ids (nbformat draws random hex by default): the
+    # committed .ipynb must be byte-stable under re-sync so the suite can
+    # enforce .py <-> .ipynb consistency (tests/test_examples.py).
+    for i, cell in enumerate(cells):
+        cell["id"] = f"cell-{i}"
     nb = nbformat.v4.new_notebook(
-        cells=parse_percent(path.read_text()),
+        cells=cells,
         metadata={
             "kernelspec": {"display_name": "Python 3", "language": "python",
                            "name": "python3"},

@@ -27,7 +27,7 @@ def _run(args, timeout=900):
 def test_history_match_example_smoke():
     out = _run(["examples/history_match.py", "--small", "--cpu"])
     # key printed diagnostics of the full lineup
-    for token in ("RMSM", "ES", "prior"):
+    for token in ("Prior", "ES", "MDA", "taper tuning", "spectrum"):
         assert token in out, (token, out[-2000:])
 
 

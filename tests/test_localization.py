@@ -73,6 +73,54 @@ def test_xy_max_corr(key=None):
         assert np.allclose(paths[w, 0], paths[w, 2])
 
 
+def test_dist_to_moving_obs_and_masked_update(key=None):
+    """The experimental 'moving mask' (reference HistoryMatch.py:853-858,
+    disabled there): taper centred on the xy_max_corr trajectories instead
+    of the wells. Static paths at the well locations must reproduce
+    dist_to_obs exactly; genuinely moving paths must yield a different,
+    finite localized update."""
+    import jax
+    import jax.numpy as jnp
+
+    from historymatching_tpu.da.update import decorrelator, ens_update0_loc
+    from historymatching_tpu.grid import Grid2D
+    from historymatching_tpu.utils import gaussian_noise
+
+    g = Grid2D(Nx=8, Ny=8, Lx=2, Ly=1)
+    nPrd, nTime, N = 2, 5, 24
+    obs_inds = np.array([g.sub2ind(1, 1), g.sub2ind(6, 6)])
+
+    # static paths == well locations -> identical distances
+    xy_wells = np.asarray(g.ind2xy(obs_inds)).T  # (nPrd, 2)
+    static_paths = np.broadcast_to(xy_wells[:, None, :], (nPrd, nTime, 2))
+    D_static = np.asarray(loc.dist_to_moving_obs(g, static_paths))
+    D_fixed = np.asarray(loc.dist_to_obs(g, obs_inds, nTime=nTime))
+    assert D_static.shape == (g.Nxy, nTime * nPrd)
+    assert np.allclose(D_static, D_fixed)
+
+    # moving paths: drift one well's mask across the domain over time
+    paths = np.array(static_paths, copy=True)
+    paths[0, :, 0] = np.linspace(0.2, 1.8, nTime)
+    D_move = np.asarray(loc.dist_to_moving_obs(g, paths))
+    assert not np.allclose(D_move, D_fixed)
+
+    # drive a localized update with the moving taper
+    k = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(k, 3)
+    prior = jax.random.normal(k1, (N, g.Nxy))
+    obs_ens = jax.random.normal(k2, (N, nTime * nPrd)) * 0.3
+    obs = jnp.zeros(nTime * nPrd)
+    R12 = 0.1 * jnp.eye(nTime * nPrd)
+    perturbs = gaussian_noise(k3, N, nTime * nPrd, L=R12)
+    dec = decorrelator(R12)
+    post_move = ens_update0_loc(prior, obs_ens, obs, perturbs, dec,
+                                jnp.asarray(loc.bump(D_move / 1.2)))
+    post_fix = ens_update0_loc(prior, obs_ens, obs, perturbs, dec,
+                               jnp.asarray(loc.bump(D_fixed / 1.2)))
+    assert np.isfinite(np.asarray(post_move)).all()
+    assert not np.allclose(np.asarray(post_move), np.asarray(post_fix))
+
+
 def test_corr_wells_taper_and_mask(key):
     import jax
     import jax.numpy as jnp
