@@ -244,3 +244,34 @@ def test_iles_domains_flagship_scale(key):
     # the GN step must have moved the ensemble, and not exploded
     prior_np = np.asarray(prior)
     assert 1e-4 < np.abs(post - prior_np).max() < 50.0
+
+
+def test_two_pass_recook_equivalence_on_tpu(key):
+    """The straggler recook + refinement must not move production series
+    beyond the f32 floor noise of equally-valid iterates: forward sims at
+    the same tolerance with two_pass on (production) vs off (single-pass,
+    full budget everywhere) agree like two valid solvers do. Also asserts
+    the recook actually spends FEWER total iterations."""
+    from historymatching_tpu.models.ressim import simulate
+    from historymatching_tpu.parallel.runner import forward_model, set_perm
+
+    m = default_model(64, 64)
+    N = 128  # >= 2 Mosaic programs (P=2 x block_pairs=16)
+    prior = 0.3 * jax.random.normal(key, (N, m.Nxy), dtype=jnp.float32)
+    kw = dict(dt=0.025, nTime=10, keep_wsats=False, tol=2e-4, maxiter=768,
+              patience_iters=256)
+    _, prods_tp = forward_model(m, prior, two_pass=True, refine=True, **kw)
+    _, prods_sp = forward_model(m, prior, two_pass=False, **kw)
+    diff = np.abs(np.asarray(prods_tp) - np.asarray(prods_sp))
+    assert np.all(np.isfinite(diff))
+    assert np.percentile(diff, 99) < 2e-3, np.percentile(diff, 99)
+    assert diff.max() < 0.06, diff.max()
+
+    def iters(p, **knobs):
+        r = simulate(set_perm(m, p), jnp.zeros(m.Nxy, jnp.float32), 0.025, 10,
+                     tol=2e-4, maxiter=768, patience_iters=256, **knobs)
+        return r.cg_iters.sum()
+
+    it_tp = float(jnp.sum(jax.jit(jax.vmap(lambda p: iters(p)))(prior)))
+    it_sp = float(jnp.sum(jax.jit(jax.vmap(lambda p: iters(p, two_pass=False)))(prior)))
+    assert it_tp < it_sp, (it_tp, it_sp)
