@@ -95,18 +95,41 @@ def mode_ref(loc):
 
     import bench
 
+    # Resumable: each seed costs ~2 h on this machine's single CPU core, so
+    # the artifact is (re)written after EVERY seed, and seeds already present
+    # in a compatible partial artifact are skipped on restart. A partial
+    # artifact records only its completed seeds (the test-suite guard pins
+    # seeds == SEEDS, so partials can't masquerade as complete).
     rows = []
+    if os.path.exists(ref_path(loc)):
+        with open(ref_path(loc)) as f:
+            old = json.load(f)
+        if (old.get("N") == N and old.get("sim_kwargs") == _ref_sim_kw()
+                and old.get("loc") == loc):
+            rows = [r for r in old["rows"] if r["seed"] in SEEDS]
+            print(f"resuming: seeds {[r['seed'] for r in rows]} already done",
+                  flush=True)
+
+    def write():
+        os.makedirs(OUT_DIR, exist_ok=True)
+        out = dict(N=N, seeds=[r["seed"] for r in rows], loc=loc,
+                   config="64x64 nTime=40 ES-MDA(4)",
+                   sim_kwargs=_ref_sim_kw(), backend="cpu", rows=rows)
+        tmp = ref_path(loc) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, ref_path(loc))
+
     for seed in SEEDS:
+        if any(r["seed"] == seed for r in rows):
+            continue
         r = bench.run_case(seed, N, dtype=jnp.float64, timed=False, loc=loc,
                            **_ref_sim_kw())
         r["dtype"] = "float64"
         print(r, flush=True)
         rows.append(r)
-    os.makedirs(OUT_DIR, exist_ok=True)
-    out = dict(N=N, seeds=SEEDS, loc=loc, config="64x64 nTime=40 ES-MDA(4)",
-               sim_kwargs=_ref_sim_kw(), backend="cpu", rows=rows)
-    with open(ref_path(loc), "w") as f:
-        json.dump(out, f, indent=1)
+        rows.sort(key=lambda r: r["seed"])
+        write()
     print(f"wrote {ref_path(loc)}")
 
 
