@@ -96,7 +96,7 @@ def build_case(seed, N, Nx=64, Ny=64, nTime=40):
 
 
 def make_workload(case, dtype, mda_steps=MDA_STEPS, loc=False, mesh=None,
-                  sched=None, **sim_kwargs):
+                  sched=None, chunk=None, **sim_kwargs):
     """Build (workload_fn, obs, prior) for a case in the given compute dtype.
 
     workload_fn(prior, key) -> posterior runs truth-obs-free (obs captured),
@@ -125,7 +125,8 @@ def make_workload(case, dtype, mda_steps=MDA_STEPS, loc=False, mesh=None,
     def make_fwd(kw):
         def fwd_obs(E):
             _, prods = forward_model(model, E, dt=DT, nTime=nTime,
-                                     keep_wsats=False, mesh=mesh, **kw)
+                                     keep_wsats=False, mesh=mesh, chunk=chunk,
+                                     **kw)
             return prods.reshape(prods.shape[0], -1)
 
         return fwd_obs
@@ -159,11 +160,12 @@ def rmse_vs_truth(E, truth):
 
 
 def run_case(seed, N, Nx=64, Ny=64, nTime=40, dtype=jnp.float32,
-             mda_steps=MDA_STEPS, loc=False, timed=True, **sim_kwargs):
+             mda_steps=MDA_STEPS, loc=False, timed=True, chunk=None,
+             **sim_kwargs):
     """End-to-end: build case -> run workload -> quality (+ timing) dict."""
     case = build_case(seed, N, Nx, Ny, nTime)
     workload, obs, prior = make_workload(case, dtype, mda_steps, loc,
-                                         **sim_kwargs)
+                                         chunk=chunk, **sim_kwargs)
     t0 = time.perf_counter()
     post = workload(prior, case["key_mda"])
     jax.block_until_ready(post)

@@ -84,7 +84,7 @@ def _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, sim_kwargs_t, wsat0
 
 
 def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=perm_transf,
-                  mesh=None, keep_wsats=True, **sim_kwargs):
+                  mesh=None, keep_wsats=True, chunk=None, **sim_kwargs):
     """Run the ensemble forward model.
 
     Parameters mirror the reference's `forward_model(perm_ens, wsat0)`
@@ -94,7 +94,19 @@ def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=per
 
     With `mesh`, members are sharded over the "ens" axis via shard_map
     (N must be divisible by the mesh size); otherwise a single-device vmap.
-    """
+
+    `chunk` (single-device path only): run members in host-level batches of
+    `chunk` instead of one lockstep vmap. Per-member results are identical —
+    vmap's while_loop batching masks converged members, so batching changes
+    only how much masked work runs, never a member's own iterates
+    (tests/test_parallel.py::test_forward_model_chunked_matches). With the
+    per-member CG iteration counts heavy-tailed (stragglers run 5-10x the
+    median), a lockstep batch pays `N * max(iters)`; chunks pay
+    `sum over chunks of chunk * max(iters in chunk)`. Members are grouped by
+    a permeability-contrast proxy so stragglers land in the same chunk
+    (order is restored in the outputs). This is the CPU-f64 parity-reference
+    accelerator; the TPU bench path instead uses the Pallas two-pass
+    straggler recook."""
     perm_ens = jnp.atleast_2d(perm_ens)
     if wsat0 is None:
         wsat0 = jnp.zeros(model.Nxy, dtype=perm_ens.dtype)
@@ -103,8 +115,25 @@ def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=per
     kw_t = tuple(sorted(sim_kwargs.items()))
 
     if mesh is None:
-        return _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, kw_t, batched_w,
-                             keep_wsats)
+        N = perm_ens.shape[0]
+        if chunk is None or chunk >= N:
+            return _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, kw_t,
+                                 batched_w, keep_wsats)
+        import numpy as np
+
+        # hardness proxy: the field's max pre-perm (sets the K contrast that
+        # drives CG iteration counts); descending so stragglers share chunks
+        order = np.argsort(-np.asarray(jnp.max(perm_ens, axis=1)), kind="stable")
+        inv = np.argsort(order)
+        wsats, prods = [], []
+        for i in range(0, N, chunk):
+            idx = order[i:i + chunk]
+            w = wsat0[idx] if batched_w else wsat0
+            ws, pr = _forward_vmap(model, perm_ens[idx], w, dt, nTime, transf,
+                                   kw_t, batched_w, keep_wsats)
+            wsats.append(ws)
+            prods.append(pr)
+        return (jnp.concatenate(wsats)[inv], jnp.concatenate(prods)[inv])
 
     n_dev = mesh.devices.size
     if perm_ens.shape[0] % n_dev:

@@ -120,11 +120,17 @@ def mode_ref(loc):
             json.dump(out, f, indent=1)
         os.replace(tmp, ref_path(loc))
 
+    # Member-chunked forward (PARITY_REF_CHUNK, default 8): identical
+    # per-member results (vmap masks converged members), but straggler
+    # members no longer hold the whole 192-member lockstep batch at their
+    # iteration count — measured >2x on this host. Not a solver setting, so
+    # not part of the recorded sim_kwargs.
+    chunk = int(os.environ.get("PARITY_REF_CHUNK", "8")) or None
     for seed in SEEDS:
         if any(r["seed"] == seed for r in rows):
             continue
         r = bench.run_case(seed, N, dtype=jnp.float64, timed=False, loc=loc,
-                           **_ref_sim_kw())
+                           chunk=chunk, **_ref_sim_kw())
         r["dtype"] = "float64"
         print(r, flush=True)
         rows.append(r)

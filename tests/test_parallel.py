@@ -54,6 +54,27 @@ def test_forward_model_restart_batched_wsat0(key):
     assert np.allclose(np.asarray(wsats[:, 0]), np.asarray(w0))
 
 
+def test_forward_model_chunked_matches(key):
+    """Member-chunked execution (the CPU-f64 parity-reference accelerator)
+    must reproduce the one-batch vmap exactly: vmap's while_loop batching
+    masks converged members, so a member's iterates never depend on its
+    batchmates. Covers a ragged final chunk and batched restart states."""
+    m = default_model(Nx=8, Ny=8)
+    k1, k2 = jax.random.split(key)
+    N = 7
+    perm = 0.5 * jax.random.normal(k1, (N, m.Nxy))
+    w0, p0 = forward_model(m, perm, dt=0.025, nTime=4)
+    for chunk in (1, 3):
+        w1, p1 = forward_model(m, perm, dt=0.025, nTime=4, chunk=chunk)
+        assert np.allclose(np.asarray(w1), np.asarray(w0), atol=1e-12), chunk
+        assert np.allclose(np.asarray(p1), np.asarray(p0), atol=1e-12), chunk
+    ws0 = jnp.clip(0.5 + 0.1 * jax.random.normal(k2, (N, m.Nxy)), 0, 1)
+    w0, p0 = forward_model(m, perm, ws0, dt=0.025, nTime=2)
+    w1, p1 = forward_model(m, perm, ws0, dt=0.025, nTime=2, chunk=2)
+    assert np.allclose(np.asarray(w1), np.asarray(w0), atol=1e-12)
+    assert np.allclose(np.asarray(p1), np.asarray(p0), atol=1e-12)
+
+
 def test_forward_model_indivisible_raises(key):
     m = default_model(Nx=8, Ny=8)
     perm = jnp.zeros((5, m.Nxy))

@@ -210,6 +210,40 @@ def test_es_mda_gg_posterior(key):
     _check_gg_posterior(post)
 
 
+def test_es_mda_per_pass_operators(key):
+    """`forward_obs` as a SEQUENCE of per-pass callables (the bench's
+    per-MDA-pass solver-effort schedule): operators are consumed in pass
+    order, a uniform list reproduces the scalar form exactly, and a wrong
+    length is rejected."""
+    k1, k2 = jax.random.split(key)
+    prior = jnp.sqrt(4 / 3) * jax.random.normal(k1, (NGG, D))
+    obs = 4.0 * jnp.ones(D)
+    R12 = 2.0 * jnp.eye(D)
+    alphas = mda_alphas(4)
+
+    calls = []
+
+    def make_fwd(tag):
+        def fwd(E):
+            calls.append(tag)
+            return E
+        return fwd
+
+    sched = [make_fwd(i) for i in range(4)]
+    post_sched = es_mda(prior, sched, obs, R12, alphas, k2)
+    assert calls == [0, 1, 2, 3]
+    post_uniform = es_mda(prior, lambda E: E, obs, R12, alphas, k2)
+    assert np.allclose(np.asarray(post_sched), np.asarray(post_uniform))
+
+    # a per-pass operator actually CHANGES the pass it runs in: bias pass 1
+    biased = [lambda E: E + 0.5] + [lambda E: E] * 3
+    post_biased = es_mda(prior, biased, obs, R12, alphas, k2)
+    assert not np.allclose(np.asarray(post_biased), np.asarray(post_uniform))
+
+    with pytest.raises(ValueError):
+        es_mda(prior, sched[:3], obs, R12, alphas, k2)
+
+
 def test_es_mda_localized(key):
     k1, k2 = jax.random.split(key)
     prior = jnp.sqrt(4 / 3) * jax.random.normal(k1, (NGG, D))
