@@ -391,16 +391,38 @@ def _tpu_tests_fields():
     }
 
 
+# Official per-MDA-pass solver-effort schedule (round-2 VERDICT item 3).
+# ES-MDA's posterior is produced by the FINAL pass's update, so only pass 4's
+# innovations must be accurate; passes 1-3 merely steer intermediate
+# ensembles through inflated-noise updates and tolerate a looser solve.
+# Loose passes also shrink the two-pass recook (pass-1 cap 32 iters, worst
+# eighth re-solved instead of the worst quarter). Measured on the chip
+# (scripts/sched_probe.py; N=1000 wall-clock / f32-f64 posterior-RMSE ratio
+# at the N=192 parity shape, seed 1; base settings = uniform tol 2e-4):
+#     uniform tight (old default)            : 16.9 s, ratio 1.059
+#     loose x3 + tight                       : 14.2 s, ratio 1.057
+#     loose-J32-div8 x3 + tight              : 10.4 s, ratio 1.037
+#     loose-J32-div8 x3 + tight-div8         :  9.2 s, ratio 1.037  <- default
+#     loose-J32-div8 x3 + tight-div8-J32     :  8.7 s, ratio 1.035
+# The default keeps the final pass's pass-1 cap at 64: the sub-second saving
+# of J32 there trims the very budget that protects the posterior's tails.
+_SCHED_LOOSE = dict(tol=2e-3, maxiter=256, patience_iters=128,
+                    twopass_j1=32, twopass_div=8)
+DEFAULT_SCHED = [_SCHED_LOOSE, _SCHED_LOOSE, _SCHED_LOOSE,
+                 dict(twopass_div=8)]
+
+
 def bench_sim_kwargs():
     """The official bench solver settings. Measured quality-speed curve
     (multi-seed f32/f64 posterior-RMSE ratio from scripts/parity.py vs
     single-chip bench wall-clock; the two-pass straggler recook makes extra
-    iterations cheap — only hard members pay):
+    iterations cheap — only hard members pay), uniform across passes:
         tol 2e-3 / 256 / 128: 11.6 s, ratio 1.078 (FAIL > 1.05)
         tol 5e-4 / 512 / 192: 13.9 s, ratio 1.049 (pass)
         tol 2e-4 / 768 / 256: 15.4 s, ratio 0.993 (pass; f32 ~= f64)
-    Default: the last — statistically indistinguishable from the float64
-    reference.
+    Base settings: the last; on top of it the DEFAULT_SCHED per-pass schedule
+    loosens passes 1-3 (the posterior only reads pass 4's innovations —
+    measured table at DEFAULT_SCHED above).
 
     The HM_* Pallas strategy knobs (lane packing, two-pass straggler recook,
     pass-3 refinement) are read from the environment HERE, exactly once, and
@@ -418,9 +440,15 @@ def bench_sim_kwargs():
         refine=os.environ.get("HM_REFINE", "1") == "1",
     )
     # Per-MDA-pass solver-effort schedule (see make_workload's `sched`);
-    # BENCH_SCHED is a JSON list of per-pass override dicts.
-    if os.environ.get("BENCH_SCHED"):
-        kw["sched"] = json.loads(os.environ["BENCH_SCHED"])
+    # BENCH_SCHED: "off" disables, a JSON list of per-pass override dicts
+    # replaces the default.
+    sched_env = os.environ.get("BENCH_SCHED", "")
+    if sched_env == "off":
+        pass
+    elif sched_env:
+        kw["sched"] = json.loads(sched_env)
+    else:
+        kw["sched"] = [dict(s) for s in DEFAULT_SCHED]
     return kw
 
 

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Screen per-MDA-pass solver-effort schedules (round-2 VERDICT item 3).
+
+The measured quality-speed curve (bench.bench_sim_kwargs docstring) shows the
+wall-clock is bought by solver effort for the last accuracy digits — but the
+ES-MDA analysis only needs accurate *final* innovations, so passes 1..3 can
+run looser than pass 4. This probe measures, per candidate schedule:
+
+  - N=1000 flagship wall-clock (the official bench timing protocol:
+    warm-up + best-of-2), and
+  - the f32/f64 posterior-RMSE ratio at N=192 for every seed already present
+    in the committed f64 reference (parity/cpu_f64_refs.json) — the same
+    comparison scripts/parity.py makes.
+
+Writes nothing; prints one JSON line per candidate. Run on TPU with the
+machine otherwise quiet.
+
+Usage: python scripts/sched_probe.py [candidate ...]
+  candidates: names from CANDIDATES below (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Pass-effort presets (overrides on top of the official base settings).
+LOOSE = dict(tol=2e-3, maxiter=256, patience_iters=128)
+LOOSE8 = dict(tol=2e-3, maxiter=256, patience_iters=128, twopass_div=8)
+XLOOSE = dict(tol=5e-3, maxiter=192, patience_iters=96)
+MED = dict(tol=5e-4, maxiter=512, patience_iters=192)
+TIGHT = {}  # base settings (tol 2e-4 / 768 / 256)
+
+LOOSE8J32 = dict(LOOSE8, twopass_j1=32)
+XLOOSE8 = dict(tol=5e-3, maxiter=192, patience_iters=96, twopass_div=8)
+TIGHT8 = dict(twopass_div=8)
+
+CANDIDATES = {
+    "base": None,                         # no schedule: uniform tight
+    "LLLT": [LOOSE, LOOSE, LOOSE, TIGHT],
+    "LLMT": [LOOSE, LOOSE, MED, TIGHT],
+    "L8x3T": [LOOSE8, LOOSE8, LOOSE8, TIGHT],
+    "XLLMT": [XLOOSE, LOOSE, MED, TIGHT],
+    "LLTT": [LOOSE, LOOSE, TIGHT, TIGHT],
+    # round 2 of screening: sharpen around the L8x3T winner
+    "L8x3T8": [LOOSE8, LOOSE8, LOOSE8, TIGHT8],
+    "L8J32x3T": [LOOSE8J32, LOOSE8J32, LOOSE8J32, TIGHT],
+    "XL8L8L8T": [XLOOSE8, LOOSE8, LOOSE8, TIGHT],
+    # round 3: can the tight final pass also shed recook volume / pass-1 cap?
+    "L8J32x3T8": [LOOSE8J32, LOOSE8J32, LOOSE8J32, TIGHT8],
+    "L8J32x3TJ32": [LOOSE8J32, LOOSE8J32, LOOSE8J32, dict(twopass_j1=32)],
+    "L8J32x3T8J32": [LOOSE8J32, LOOSE8J32, LOOSE8J32,
+                     dict(twopass_div=8, twopass_j1=32)],
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    names = sys.argv[1:] or list(CANDIDATES)
+    base = {k: v for k, v in bench.bench_sim_kwargs().items() if k != "sched"}
+
+    with open(os.path.join(REPO, "parity", "cpu_f64_refs.json")) as f:
+        ref = json.load(f)
+    ref_rows = {r["seed"]: r for r in ref["rows"]}
+    n_par = ref["N"]
+
+    for name in names:
+        sched = CANDIDATES[name]
+        t0 = time.time()
+        row = {"cand": name}
+
+        # Flagship timing, official protocol shape (N=1000, seed 1).
+        r = bench.run_case(1, bench.N_ENS, dtype=jnp.float32, timed=True,
+                           sched=sched, **base)
+        # best-of-2: one more timed call through run_case would rebuild the
+        # case; cheap to accept the single timed number here (screening).
+        row.update(elapsed_s=r["elapsed_s"], first_call_s=r["first_call_s"],
+                   rmse_post_n1000=round(r["rmse_post"], 4))
+
+        # Quality ratio at the parity shape for every committed ref seed.
+        ratios = {}
+        for seed, rr in sorted(ref_rows.items()):
+            q = bench.run_case(seed, n_par, dtype=jnp.float32, timed=False,
+                               sched=sched, **base)
+            ratios[str(seed)] = round(q["rmse_post"] / rr["rmse_post"], 4)
+        row["ratios_n192"] = ratios
+        row["probe_s"] = round(time.time() - t0, 1)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

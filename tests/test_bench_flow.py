@@ -143,6 +143,28 @@ def test_parity_f64_refs_match_script_defaults():
         assert r["N"] == parity.N and r["seeds"] == parity.SEEDS, name
         assert r["N"] >= 192, "N < p=160+ would flip the analysis branch"
         # the f64 oracle must never be iteration-starved relative to the
-        # f32 run under test
+        # f32 run under test — including every per-pass schedule override
         assert ref_kw["maxiter"] >= bench_kw["maxiter"], name
         assert ref_kw["patience_iters"] >= bench_kw["patience_iters"], name
+        for ov in bench_kw.get("sched") or []:
+            assert ref_kw["maxiter"] >= ov.get("maxiter", 0), (name, ov)
+            assert ref_kw["tol"] <= ov.get("tol", 1.0), (name, ov)
+
+
+def test_default_sched_shape():
+    """The official config ships a per-MDA-pass solver schedule: 4 passes,
+    final pass strictly tighter than the loose ones (the posterior reads
+    only pass 4's innovations), and BENCH_SCHED=off must disable it."""
+    import bench
+
+    kw = bench.bench_sim_kwargs()
+    sched = kw.get("sched")
+    assert sched is not None and len(sched) == 4
+    final_tol = sched[-1].get("tol", kw["tol"])
+    for ov in sched[:-1]:
+        assert ov.get("tol", kw["tol"]) >= final_tol
+    import os
+    from unittest import mock
+
+    with mock.patch.dict(os.environ, {"BENCH_SCHED": "off"}):
+        assert "sched" not in bench.bench_sim_kwargs()
