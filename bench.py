@@ -96,7 +96,7 @@ def build_case(seed, N, Nx=64, Ny=64, nTime=40):
 
 
 def make_workload(case, dtype, mda_steps=MDA_STEPS, loc=False, mesh=None,
-                  sched=None, chunk=None, **sim_kwargs):
+                  sched=None, chunk=None, forward=None, **sim_kwargs):
     """Build (workload_fn, obs, prior) for a case in the given compute dtype.
 
     workload_fn(prior, key) -> posterior runs truth-obs-free (obs captured),
@@ -107,9 +107,16 @@ def make_workload(case, dtype, mda_steps=MDA_STEPS, loc=False, mesh=None,
     `sched` (optional): per-MDA-pass solver-effort schedule — a list of
     `mda_steps` dicts of simulate-kwarg OVERRIDES on top of `sim_kwargs`
     (e.g. looser tol for passes whose innovations only steer intermediate
-    ensembles). `{}` entries mean "use sim_kwargs"."""
+    ensembles). `{}` entries mean "use sim_kwargs".
+
+    `forward` (optional): alternative forward-model callable with the
+    `parallel.runner.forward_model` signature — e.g. the exact-solve f64
+    oracle (`models.oracle.forward_oracle`) the parity harness uses as its
+    reference side."""
     from historymatching_tpu.da.update import es_mda, mda_alphas
-    from historymatching_tpu.parallel.runner import forward_model
+    from historymatching_tpu.parallel.runner import forward_model as _fm
+
+    forward_model = forward or _fm
 
     model = case["model"]
     nTime = case["nTime"]
@@ -161,11 +168,21 @@ def rmse_vs_truth(E, truth):
 
 def run_case(seed, N, Nx=64, Ny=64, nTime=40, dtype=jnp.float32,
              mda_steps=MDA_STEPS, loc=False, timed=True, chunk=None,
-             **sim_kwargs):
-    """End-to-end: build case -> run workload -> quality (+ timing) dict."""
+             oracle=False, **sim_kwargs):
+    """End-to-end: build case -> run workload -> quality (+ timing) dict.
+
+    `oracle=True` routes every forward through the exact-pressure-solve f64
+    oracle (models/oracle.py) — the parity reference path."""
     case = build_case(seed, N, Nx, Ny, nTime)
+    forward = None
+    if oracle:
+        from historymatching_tpu.models.oracle import forward_oracle
+
+        assert dtype == jnp.float64, "the oracle is an f64 reference"
+        forward = forward_oracle
     workload, obs, prior = make_workload(case, dtype, mda_steps, loc,
-                                         chunk=chunk, **sim_kwargs)
+                                         chunk=chunk, forward=forward,
+                                         **sim_kwargs)
     t0 = time.perf_counter()
     post = workload(prior, case["key_mda"])
     jax.block_until_ready(post)
@@ -420,6 +437,11 @@ def bench_sim_kwargs():
         tol 2e-3 / 256 / 128: 11.6 s, ratio 1.078 (FAIL > 1.05)
         tol 5e-4 / 512 / 192: 13.9 s, ratio 1.049 (pass)
         tol 2e-4 / 768 / 256: 15.4 s, ratio 0.993 (pass; f32 ~= f64)
+    (Historical ratios above were measured against the round-2 ITERATIVE
+    f64 reference; the official parity artifacts now ratio against the
+    EXACT-solve oracle — scripts/parity.py, models/oracle.py — which moved
+    the denominator by ~+6 % at seed 1. Current official numbers live in
+    parity/PARITY_TPU*.json.)
     Base settings: the last; on top of it the DEFAULT_SCHED per-pass schedule
     loosens passes 1-3 (the posterior only reads pass 4's innovations —
     measured table at DEFAULT_SCHED above).

@@ -126,29 +126,45 @@ def test_parity_artifacts_match_bench_defaults():
 
 
 def test_parity_f64_refs_match_script_defaults():
-    """The committed f64 REFERENCE artifacts must carry exactly the solver
-    settings scripts/parity.py documents (round-2 VERDICT weak #1: the old
-    refs were generated at a smaller iteration budget than the script
-    claimed — and smaller than the f32 production budget, a bias in f32's
-    favor). Also pins the branch-matching N: refs at N < p=160 would
+    """The committed f64 REFERENCE artifacts must carry exactly the method
+    marker scripts/parity.py documents. Round-2 VERDICT weak #1 flagged the
+    old iterative references' budget-fairness; the references are now
+    EXACT-solve (models/oracle.py — banded Cholesky, no iteration budget to
+    be starved of), so the former budget-dominance asserts are vacuous by
+    construction. Also pins the branch-matching N: refs at N < p=160 would
     exercise the ensemble-space analysis branch, not the bench's."""
-    import bench
-
     parity = _parity_script()
-    ref_kw = parity._ref_sim_kw()
-    bench_kw = bench.bench_sim_kwargs()
     for name in ("cpu_f64_refs.json", "cpu_f64_refs_loc.json"):
         r = _load_parity_artifact(name)
-        assert r["sim_kwargs"] == ref_kw, name
+        assert r["sim_kwargs"] == parity.ORACLE_KW, name
         assert r["N"] == parity.N and r["seeds"] == parity.SEEDS, name
         assert r["N"] >= 192, "N < p=160+ would flip the analysis branch"
-        # the f64 oracle must never be iteration-starved relative to the
-        # f32 run under test — including every per-pass schedule override
-        assert ref_kw["maxiter"] >= bench_kw["maxiter"], name
-        assert ref_kw["patience_iters"] >= bench_kw["patience_iters"], name
-        for ov in bench_kw.get("sched") or []:
-            assert ref_kw["maxiter"] >= ov.get("maxiter", 0), (name, ov)
-            assert ref_kw["tol"] <= ov.get("tol", 1.0), (name, ov)
+
+
+def test_parity_pcg_xcheck_documents_iterative_f64_gap():
+    """The committed cross-check artifact records the posterior gap between
+    iterative f64 (MG-PCG tol 1e-7, maxiter 768 — the round-2 reference
+    method) and the exact-solve oracle on the same seeds/inputs.
+
+    The measured gap is PERCENT-level (seed 1: 1.0865 vs 1.1594, ~6%+ —
+    straggler members hit the 768-iteration cap at 64x64 contrast, and the
+    ES-MDA posterior is sensitive to exactly those members). That finding is
+    why the parity reference is the exact oracle, not an iterative budget:
+    f32-vs-f64 differences are the same order as f64-budget-vs-exact
+    differences, so only an exact yardstick makes the ratio well-defined.
+    This test pins that the artifact stays paired (identical priors) and
+    that the gap stays in the documented percent-level band — a silent
+    10x blowup would mean a pipeline regression, not solver sensitivity."""
+    x = _load_parity_artifact("cpu_f64_pcg_xcheck.json")
+    ref = _load_parity_artifact("cpu_f64_refs.json")
+    ref_by_seed = {r["seed"]: r for r in ref["rows"]}
+    checked = [r for r in x["rows"] if "delta_vs_oracle" in r]
+    assert checked, "xcheck artifact carries no oracle deltas"
+    for r in checked:
+        o = ref_by_seed[r["seed"]]
+        assert r["rmse_prior"] == o["rmse_prior"], "inputs must be paired"
+        assert r["rmse_post_oracle"] == o["rmse_post"]
+        assert abs(r["delta_vs_oracle"]) <= 0.15 * r["rmse_post_oracle"], r
 
 
 def test_default_sched_shape():

@@ -251,13 +251,23 @@ def test_two_pass_recook_equivalence_on_tpu(key):
     beyond the f32 floor noise of equally-valid iterates: forward sims at
     the same tolerance with two_pass on (production) vs off (single-pass,
     full budget everywhere) agree like two valid solvers do. Also asserts
-    the recook actually spends FEWER total iterations."""
+    the recook actually dispatches FEWER iteration-member units (the
+    per-member counters are program maxima — pressure_solve_pallas_packed
+    broadcasts the program's loop count — so their sum IS dispatched work).
+
+    The prior must be the production one (spatially correlated fields,
+    heavy-tailed straggler statistics): on an iid white-noise prior the
+    population is uniformly easy, single-pass programs finish in ~55
+    iterations, and the recook's unconditional 96-iteration refinement
+    pass dominates — the savings claim only holds (and is only claimed)
+    for the correlated-field regime the bench runs."""
+    from historymatching_tpu.da.geostat import gaussian_fields_fft
     from historymatching_tpu.models.ressim import simulate
     from historymatching_tpu.parallel.runner import forward_model, set_perm
 
     m = default_model(64, 64)
     N = 128  # >= 2 Mosaic programs (P=2 x block_pairs=16)
-    prior = 0.3 * jax.random.normal(key, (N, m.Nxy), dtype=jnp.float32)
+    prior = gaussian_fields_fft(key, m.grid, N=N, r=0.8, dtype=jnp.float32)
     kw = dict(dt=0.025, nTime=10, keep_wsats=False, tol=2e-4, maxiter=768,
               patience_iters=256)
     _, prods_tp = forward_model(m, prior, two_pass=True, refine=True, **kw)
