@@ -202,7 +202,8 @@ def run_case(seed, N, Nx=64, Ny=64, nTime=40, dtype=jnp.float32,
     )
 
 
-def _breakdown_fields(case, elapsed, sim_kw, cg_full, mda_steps=MDA_STEPS):
+def _breakdown_fields(case, elapsed, sim_kw, cg_full, mda_steps=MDA_STEPS,
+                      sched=None):
     """MEASURED stage decomposition (round-2 VERDICT item 4: the analytic
     roofline needs a measured cross-check each round).
 
@@ -214,6 +215,11 @@ def _breakdown_fields(case, elapsed, sim_kw, cg_full, mda_steps=MDA_STEPS):
     pressure-iteration time from the rest (transport + setup + dispatch):
         slope = (t_fwd - t_light) / (iters_fwd - iters_light)  [s per iter]
         t_pressure ~= slope * iters_fwd   (per pass, iteration-driven part)
+
+    With a per-pass `sched`, each DISTINCT pass configuration is timed and
+    t_other_s subtracts the scheduled total (a tight-config-only estimate
+    made t_other_s negative by the loose passes' savings); the per-pass
+    fields describe the full-effort (final) pass.
     """
     from historymatching_tpu.da.update import decorrelator, ens_update0
     from historymatching_tpu.models.ressim import simulate
@@ -239,6 +245,18 @@ def _breakdown_fields(case, elapsed, sim_kw, cg_full, mda_steps=MDA_STEPS):
 
     t_fwd, prods = timed(lambda: fwd(sim_kw))
 
+    # Scheduled forward total: time each distinct per-pass configuration
+    # once (jit-cache hits), sum over the pass list.
+    pass_kws = ([dict(sim_kw, **ov) for ov in sched] if sched
+                else [sim_kw] * mda_steps)
+    seen = {tuple(sorted(sim_kw.items())): t_fwd}
+    t_fwd_total = 0.0
+    for kw in pass_kws:
+        k = tuple(sorted(kw.items()))
+        if k not in seen:
+            seen[k], _ = timed(lambda: fwd(kw))
+        t_fwd_total += seen[k]
+
     dec = decorrelator(R12).astype(prior.dtype)
     perturbs = 2.0 * gaussian_noise(jax.random.PRNGKey(0), N, R12.shape[0], L=R12)
     obs = prods[0]
@@ -261,9 +279,13 @@ def _breakdown_fields(case, elapsed, sim_kw, cg_full, mda_steps=MDA_STEPS):
     t_pressure = slope * cg_full * N  # per forward pass
     return {
         "t_forward_pass_s": round(t_fwd, 3),
+        "t_forward_sched_total_s": round(t_fwd_total, 3),
         "t_analysis_pass_s": round(t_an, 3),
-        # elapsed - mda_steps*(fwd + analysis): host-loop / dispatch slack
-        "t_other_s": round(elapsed - mda_steps * (t_fwd + t_an), 3),
+        # elapsed - (scheduled forwards + analyses): host-loop/dispatch
+        # slack; NEGATIVE means the uninterrupted workload overlaps
+        # dispatch that the per-stage timings (each block_until_ready'd)
+        # pay individually — pronounced at small shapes.
+        "t_other_s": round(elapsed - t_fwd_total - mda_steps * t_an, 3),
         "t_pressure_iters_pass_s": round(t_pressure, 3),
         "t_transport_setup_pass_s": round(t_fwd - t_pressure, 3),
         "cg_iters_light_pass": round(cg_light, 1),
@@ -551,7 +573,8 @@ def main():
     try:
         cg_full = out.get("cg_iters_per_member_pass")
         if cg_full is not None:
-            out.update(_breakdown_fields(case, elapsed, sim_only_kw, cg_full))
+            out.update(_breakdown_fields(case, elapsed, sim_only_kw, cg_full,
+                                         sched=sim_kw.get("sched")))
     except Exception as e:  # pragma: no cover — diagnostics must not kill the bench
         out["breakdown_error"] = str(e)[:200]
 
