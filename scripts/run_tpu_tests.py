@@ -42,8 +42,12 @@ def main():
     passed, failed, skipped = count("passed"), count("failed"), count("skipped")
     sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
-    dirty = bool(subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
-                                capture_output=True, text=True).stdout.strip())
+    # The artifact itself is necessarily uncommitted while being refreshed —
+    # exclude it from the dirty check so a code-clean tree records clean.
+    status = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                            capture_output=True, text=True).stdout
+    dirty = bool([ln for ln in status.splitlines()
+                  if ln.strip() and "parity/TPU_TESTS.json" not in ln])
     out = dict(
         ok=bool(proc.returncode == 0 and passed > 0 and failed == 0),
         passed=passed, failed=failed, skipped=skipped,
