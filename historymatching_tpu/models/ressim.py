@@ -230,6 +230,11 @@ class SimResult(NamedTuple):
     # reference's direct solver never "fails", only configs do).
     cg_iters: jax.Array  # (nTime,) pressure-solve iteration counts
     substeps: jax.Array  # (nTime,) transport CFL substep counts
+    # (nTime, Nxy) pressure trajectory when simulate(keep_pressures=True):
+    # feed it back as `p_init` on a RE-simulation of a nearby model (e.g.
+    # the next ES-MDA pass's ensemble) to warm-start every solve from the
+    # same-time-step pressure of the previous pass. () otherwise.
+    pressures: jax.Array | tuple = ()
 
 
 # -- physics helpers -----------------------------------------------------------
@@ -437,13 +442,13 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
     static_argnames=(
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
         "patience_iters", "scale_system", "packed", "two_pass", "twopass_j1",
-        "twopass_div", "refine",
+        "twopass_div", "refine", "keep_pressures",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
              max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96,
              scale_system=True, packed=True, two_pass=True, twopass_j1=64,
-             twopass_div=4, refine=True):
+             twopass_div=4, refine=True, p_init=None, keep_pressures=False):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -458,6 +463,15 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
     the configuration it reports: env-var reads at trace time (the round-2
     scheme) are silently ignored by the jit cache on same-shape re-calls.
     They only affect the TPU (`use_pallas`) path.
+
+    `p_init` (optional, (nTime, Nxy)): per-time-step pressure warm starts —
+    e.g. the `pressures` output of a previous simulation of a NEARBY model
+    (the ES-MDA cross-pass case: pass k+1 re-simulates slightly-updated
+    fields, so pass k's same-step pressure is a far better start than the
+    previous step's). Warm starts change only the iterate path, never the
+    acceptance criterion: any solution meeting `tol` is equally valid.
+    With `keep_pressures`, the result carries the pressure trajectory to
+    feed the next pass.
     """
     g = model.grid
     dtype = jnp.result_type(jnp.asarray(wsat0).dtype, float)
@@ -493,27 +507,33 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         g.in_domain(model.prd_xy[:, 0], model.prd_xy[:, 1])
     )
 
-    def step(carry, rates_t):
+    def step(carry, xs_t):
         s, p_prev = carry
-        inj_t, prd_t = rates_t
+        inj_t, prd_t, p_ws = xs_t
         q = _source_field(model, inj_t, prd_t).astype(dtype)
-        # Warm start from the previous step's pressure. NOTE: linear
-        # extrapolation (2*p_t - p_{t-1}) was measured HARMFUL: it looks
-        # great on one seed (39s/1.0029 at patience 64) but flips another
-        # seed's posterior to non-improving at EVERY patience level
-        # (seed 2: RMSE 1.19 -> 1.27-1.29 vs 0.72 with the plain warm
-        # start). Do not reintroduce without multi-seed validation.
+        # Warm start from the previous step's pressure, or — when `p_init`
+        # is threaded in — from the previous PASS's same-step pressure.
+        # NOTE: linear extrapolation (2*p_t - p_{t-1}) was measured
+        # HARMFUL: it looks great on one seed (39s/1.0029 at patience 64)
+        # but flips another seed's posterior to non-improving at EVERY
+        # patience level (seed 2: RMSE 1.19 -> 1.27-1.29 vs 0.72 with the
+        # plain warm start). Do not reintroduce without multi-seed
+        # validation.
+        p0_t = p_prev if p_ws is None else p_ws
         p, Fx, Fy, iters, conv = pressure_step(
-            model, s, q, p_prev, tol, maxiter, tol_accept, precond, use_pallas,
+            model, s, q, p0_t, tol, maxiter, tol_accept, precond, use_pallas,
             patience_iters, scale_system, packed, two_pass, twopass_j1,
             twopass_div, refine,
         )
         s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps,
                                       use_pallas, packed)
-        return (s_new, p), (s_new.reshape(-1), iters, conv, n_sub)
+        return (s_new, p), (s_new.reshape(-1), p.reshape(-1), iters, conv, n_sub)
 
     p0 = jnp.zeros(g.shape, dtype=dtype) + s0 * 0  # same vma as s0
-    (_, _), (sats, iters, convs, subs) = lax.scan(step, (s0, p0), (inj_seq, prd_seq))
+    p_init_seq = (None if p_init is None
+                  else jnp.asarray(p_init, dtype).reshape(nTime, *g.shape))
+    (_, _), (sats, press, iters, convs, subs) = lax.scan(
+        step, (s0, p0), (inj_seq, prd_seq, p_init_seq))
 
     wsats = jnp.concatenate([s0.reshape(1, -1), sats], axis=0)
     return SimResult(
@@ -524,4 +544,7 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         cg_ok=jnp.all(convs),
         cg_iters=iters,
         substeps=subs,
+        # dropped (and XLA-DCE'd) unless requested — (nTime, Nxy) is a large
+        # buffer at ensemble scale
+        pressures=press if keep_pressures else (),
     )

@@ -56,7 +56,8 @@ def prod_inds(model: ResSim):
     return model.xy2ind(model.prd_xy[:, 0], model.prd_xy[:, 1])
 
 
-def _comp1(model, pre_perm, wsat0, dt, nTime, transf, sim_kwargs, keep_wsats):
+def _comp1(model, pre_perm, wsat0, dt, nTime, transf, sim_kwargs, keep_wsats,
+           p_init=None, keep_pressures=False):
     """Composite forward model for one member (reference comp1,
     HistoryMatch.py:358-364): set params -> simulate -> observe.
 
@@ -65,26 +66,33 @@ def _comp1(model, pre_perm, wsat0, dt, nTime, transf, sim_kwargs, keep_wsats):
     large HBM buffer at N=1000 (reference notes the same: state emitted
     'only ... for future prediction', HistoryMatch.py:370-374)."""
     m = set_perm(model, pre_perm, transf)
-    res = simulate(m, wsat0, dt, nTime, **sim_kwargs)
+    res = simulate(m, wsat0, dt, nTime, p_init=p_init,
+                   keep_pressures=keep_pressures, **sim_kwargs)
     prods = res.wsats[1:, :][:, prod_inds(m)]  # (nTime, nPrd)
-    if keep_wsats:
-        return res.wsats, prods
-    return res.wsats[-1:], prods  # final state only (restartable)
+    wsats = res.wsats if keep_wsats else res.wsats[-1:]  # else: restartable final state
+    if keep_pressures:
+        return wsats, prods, res.pressures
+    return wsats, prods
 
 
 @partial(
     jax.jit,
-    static_argnames=("dt", "nTime", "transf", "sim_kwargs_t", "wsat0_batched", "keep_wsats"),
+    static_argnames=("dt", "nTime", "transf", "sim_kwargs_t", "wsat0_batched", "keep_wsats",
+                     "keep_pressures"),
 )
 def _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, sim_kwargs_t, wsat0_batched,
-                  keep_wsats=True):
+                  keep_wsats=True, p_init=None, keep_pressures=False):
     sim_kwargs = dict(sim_kwargs_t)
-    f = lambda p, w: _comp1(model, p, w, dt, nTime, transf, sim_kwargs, keep_wsats)  # noqa: E731
-    return jax.vmap(f, in_axes=(0, 0 if wsat0_batched else None))(perm_ens, wsat0)
+    f = lambda p, w, pi: _comp1(model, p, w, dt, nTime, transf, sim_kwargs,  # noqa: E731
+                                keep_wsats, pi, keep_pressures)
+    return jax.vmap(f, in_axes=(0, 0 if wsat0_batched else None,
+                                None if p_init is None else 0))(
+        perm_ens, wsat0, p_init)
 
 
 def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=perm_transf,
-                  mesh=None, keep_wsats=True, chunk=None, **sim_kwargs):
+                  mesh=None, keep_wsats=True, chunk=None, p_init=None,
+                  keep_pressures=False, **sim_kwargs):
     """Run the ensemble forward model.
 
     Parameters mirror the reference's `forward_model(perm_ens, wsat0)`
@@ -106,7 +114,13 @@ def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=per
     a permeability-contrast proxy so stragglers land in the same chunk
     (order is restored in the outputs). This is the CPU-f64 parity-reference
     accelerator; the TPU bench path instead uses the Pallas two-pass
-    straggler recook."""
+    straggler recook.
+
+    `p_init` ((N, nTime, Nxy), optional) / `keep_pressures`: per-member
+    pressure-trajectory warm starts (see `simulate`); with
+    `keep_pressures` the return gains a third element, the (N, nTime, Nxy)
+    pressure trajectories — the ES-MDA cross-pass warm-start loop feeds
+    them back as the next pass's `p_init`."""
     perm_ens = jnp.atleast_2d(perm_ens)
     if wsat0 is None:
         wsat0 = jnp.zeros(model.Nxy, dtype=perm_ens.dtype)
@@ -118,35 +132,44 @@ def forward_model(model, perm_ens, wsat0=None, dt=0.025, nTime=40, *, transf=per
         N = perm_ens.shape[0]
         if chunk is None or chunk >= N:
             return _forward_vmap(model, perm_ens, wsat0, dt, nTime, transf, kw_t,
-                                 batched_w, keep_wsats)
+                                 batched_w, keep_wsats, p_init, keep_pressures)
         import numpy as np
 
         # hardness proxy: the field's max pre-perm (sets the K contrast that
         # drives CG iteration counts); descending so stragglers share chunks
         order = np.argsort(-np.asarray(jnp.max(perm_ens, axis=1)), kind="stable")
         inv = np.argsort(order)
-        wsats, prods = [], []
+        outs = []
         for i in range(0, N, chunk):
             idx = order[i:i + chunk]
             w = wsat0[idx] if batched_w else wsat0
-            ws, pr = _forward_vmap(model, perm_ens[idx], w, dt, nTime, transf,
-                                   kw_t, batched_w, keep_wsats)
-            wsats.append(ws)
-            prods.append(pr)
-        return (jnp.concatenate(wsats)[inv], jnp.concatenate(prods)[inv])
+            pi = None if p_init is None else p_init[idx]
+            outs.append(_forward_vmap(model, perm_ens[idx], w, dt, nTime, transf,
+                                      kw_t, batched_w, keep_wsats, pi,
+                                      keep_pressures))
+        return tuple(jnp.concatenate(parts)[inv] for parts in zip(*outs))
 
     n_dev = mesh.devices.size
     if perm_ens.shape[0] % n_dev:
         raise ValueError(f"N={perm_ens.shape[0]} not divisible by mesh size {n_dev}")
 
-    def local(perm_shard, w_shard):
-        return _forward_vmap(model, perm_shard, w_shard, dt, nTime, transf, kw_t, batched_w,
-                             keep_wsats)
+    n_out = 3 if keep_pressures else 2
+    out_specs = tuple([P(ENS_AXIS)] * n_out)
+    w_spec = P(ENS_AXIS) if batched_w else P()
+    if p_init is None:
+        def local(perm_shard, w_shard):
+            return _forward_vmap(model, perm_shard, w_shard, dt, nTime, transf,
+                                 kw_t, batched_w, keep_wsats, None, keep_pressures)
 
-    in_specs = (P(ENS_AXIS), P(ENS_AXIS) if batched_w else P())
-    out_specs = (P(ENS_AXIS), P(ENS_AXIS))
-    fm = shard_map(local, mesh, in_specs, out_specs)
-    return jax.jit(fm)(perm_ens, wsat0)
+        fm = shard_map(local, mesh, (P(ENS_AXIS), w_spec), out_specs)
+        return jax.jit(fm)(perm_ens, wsat0)
+
+    def local_p(perm_shard, w_shard, p_shard):
+        return _forward_vmap(model, perm_shard, w_shard, dt, nTime, transf,
+                             kw_t, batched_w, keep_wsats, p_shard, keep_pressures)
+
+    fm = shard_map(local_p, mesh, (P(ENS_AXIS), w_spec, P(ENS_AXIS)), out_specs)
+    return jax.jit(fm)(perm_ens, wsat0, p_init)
 
 
 def ensemble_simulate(model, perm_ens, wsat0=None, dt=0.025, nTime=40, **kw):

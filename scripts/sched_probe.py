@@ -54,6 +54,14 @@ CANDIDATES = {
     "L8J32x3TJ32": [LOOSE8J32, LOOSE8J32, LOOSE8J32, dict(twopass_j1=32)],
     "L8J32x3T8J32": [LOOSE8J32, LOOSE8J32, LOOSE8J32,
                      dict(twopass_div=8, twopass_j1=32)],
+    # round 4 (vs the exact-oracle refs): shave the final pass further
+    "L8J32x3T16J32": [LOOSE8J32, LOOSE8J32, LOOSE8J32,
+                      dict(twopass_div=16, twopass_j1=32)],
+    "L8J32x3T8J32P128": [LOOSE8J32, LOOSE8J32, LOOSE8J32,
+                         dict(twopass_div=8, twopass_j1=32,
+                              patience_iters=128)],
+    "XL8J32x3T8J32": [dict(XLOOSE8, twopass_j1=32)] * 3 + [
+        dict(twopass_div=8, twopass_j1=32)],
 }
 
 
