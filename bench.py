@@ -256,10 +256,14 @@ def _breakdown_fields(case, elapsed, sim_kw, cg_full, mda_steps=MDA_STEPS,
 
     def timed(f):
         jax.block_until_ready(f())  # warm (cache hit for the default config)
-        t0 = time.perf_counter()
-        out = f()
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0, out
+        best, out = None, None
+        for _ in range(2):  # best-of-2, same protocol as the headline timing
+            t0 = time.perf_counter()
+            out = f()
+            jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, out
 
     def fwd(kw):
         _, prods = forward_model(model, prior, dt=DT, nTime=nTime,
@@ -340,9 +344,14 @@ FLOPS_PER_CELL_SETUP = 25.0
 COARSE_NS_FLOPS = 51 * 3 * 2 * 16**3
 
 
-def _roofline_fields(case, elapsed, n_ens, mda_steps, **sim_kwargs):
+def _roofline_fields(case, elapsed, n_ens, mda_steps, sched=None, **sim_kwargs):
     """Measure per-member iteration counters on a subsample, scale to the
     full workload, and report achieved FLOP/s + HBM pressure vs peaks.
+
+    With a per-pass `sched`, counters are measured at each DISTINCT pass
+    configuration and summed over the pass list (scaling the tight-pass
+    counters by every pass overstated model_tflops ~2x once the loose
+    schedule landed — vpu_util read >1, impossible by construction).
 
     Caveat: on TPU the reported cg iteration counts are per-PROGRAM maxima
     (all lanes of a Mosaic program run while any member is live), measured
@@ -358,21 +367,36 @@ def _roofline_fields(case, elapsed, n_ens, mda_steps, **sim_kwargs):
     n_sub = min(64, n_ens)
     sub = case["prior"][:n_sub]
 
-    def counters(p):
-        m = set_perm(model, p)
-        r = simulate(m, jnp.zeros(model.Nxy, jnp.float32), DT, nTime, **sim_kwargs)
-        return r.cg_iters.sum(), r.substeps.sum()
+    def measure(kw):
+        def counters(p):
+            m = set_perm(model, p)
+            r = simulate(m, jnp.zeros(model.Nxy, jnp.float32), DT, nTime, **kw)
+            return r.cg_iters.sum(), r.substeps.sum()
 
-    it_sum, sub_sum = jax.jit(jax.vmap(counters))(sub)
-    cg_per_member = float(jnp.mean(it_sum))
-    substeps_per_member = float(jnp.mean(sub_sum))
+        it_sum, sub_sum = jax.jit(jax.vmap(counters))(sub)
+        return float(jnp.mean(it_sum)), float(jnp.mean(sub_sum))
+
+    pass_kws = ([dict(sim_kwargs, **ov) for ov in sched] if sched
+                else [sim_kwargs] * mda_steps)
+    seen = {}
+    per_pass_counts = []
+    for kw in pass_kws:
+        k = tuple(sorted(kw.items()))
+        if k not in seen:
+            seen[k] = measure(kw)
+        per_pass_counts.append(seen[k])
+    # headline counters: the full-effort (final) pass
+    cg_per_member, substeps_per_member = per_pass_counts[-1]
 
     Nxy = model.Nxy
-    per_pass = (
-        cg_per_member * Nxy * FLOPS_PER_CELL_PER_CG_ITER
-        + substeps_per_member * Nxy * FLOPS_PER_CELL_PER_SUBSTEP
-        + nTime * (Nxy * FLOPS_PER_CELL_SETUP + COARSE_NS_FLOPS)
-    )
+
+    def pass_flops(cg, substeps):
+        return (
+            cg * Nxy * FLOPS_PER_CELL_PER_CG_ITER
+            + substeps * Nxy * FLOPS_PER_CELL_PER_SUBSTEP
+            + nTime * (Nxy * FLOPS_PER_CELL_SETUP + COARSE_NS_FLOPS)
+        )
+
     # Analysis (ens_update0, ensemble-space form, Newton-Schulz solve):
     p_obs = case["R12"].shape[0]
     N = n_ens
@@ -383,7 +407,8 @@ def _roofline_fields(case, elapsed, n_ens, mda_steps, **sim_kwargs):
         + 51 * 3 * 2 * n_solve**3      # spd_inverse (guarded NS)
         + 4 * N * p_obs * Nxy          # Kalman term GEMMs
     )
-    flops_total = mda_steps * (n_ens * per_pass + analysis)
+    flops_total = sum(n_ens * pass_flops(cg, ss) + analysis
+                      for cg, ss in per_pass_counts)
 
     # HBM traffic model: per member-step the fused kernels stream the
     # operator data + states once (hierarchy 4/3 * 3 fields + q/p0/p +
@@ -583,11 +608,11 @@ def main():
         )
 
     # Multi-seed flagship quality (round-2 VERDICT item 1c): the headline
-    # rmse is never one realization again — seeds 1..3 at the FULL N (same
-    # shapes, so no recompilation; ~17 s/seed on TPU).
+    # rmse is never one realization again — seeds 1..5 at the FULL N (the
+    # parity seed-set; same shapes, so no recompilation; ~9 s/seed on TPU).
     if os.environ.get("BENCH_MULTISEED", "0" if SMALL else "1") == "1":
         rmse_seeds = {str(seed): [round(e_prior, 4), round(e_post, 4)]}
-        for s in (1, 2, 3):
+        for s in (1, 2, 3, 4, 5):
             if s == seed:
                 continue
             case_s = build_case(s, N_ENS, NX, NY, NTIME)
@@ -602,7 +627,8 @@ def main():
                    improves_frac=f"{n_imp}/{len(rmse_seeds)}")
 
     try:
-        out.update(_roofline_fields(case, elapsed, N_ENS, MDA_STEPS, **sim_only_kw))
+        out.update(_roofline_fields(case, elapsed, N_ENS, MDA_STEPS,
+                                    sched=sim_kw.get("sched"), **sim_only_kw))
     except Exception as e:  # pragma: no cover — diagnostics must not kill the bench
         out["roofline_error"] = str(e)[:200]
 
