@@ -276,10 +276,27 @@ def _source_field(model: ResSim, inj_t, prd_t):
     return q.reshape(g.shape)
 
 
+def _scaled_solver_hierarchy(model: ResSim, s):
+    """The Jacobi-scaled TPFA multigrid hierarchy for saturation field `s`
+    — the same construction `pressure_step(scale_system=True)` performs for
+    the current step. Used by `simulate(freeze_coarse=True)` to precompute
+    the coarse inverse once per pass."""
+    g = model.grid
+    Mw, Mo = relperm(s, model.fluid)
+    mob = Mw + Mo
+    TX, TY = transmissibilities(model.K[0] * mob, model.K[1] * mob, g.hx, g.hy)
+    diag_np = stencil_diag_nopin(TX, TY)
+    diag = diag_np.at[0, 0].add(jnp.mean(diag_np))
+    sd = lax.rsqrt(diag)
+    TXs = TX * sd[:-1, :] * sd[1:, :]
+    TYs = TY * sd[:, :-1] * sd[:, 1:]
+    return build_hierarchy_5pt(TXs, TYs, jnp.ones_like(diag))
+
+
 def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg",
                   use_pallas=False, patience_iters=96, scale_system=True,
                   packed=True, two_pass=True, twopass_j1=64, twopass_div=4,
-                  refine=True):
+                  refine=True, coarse_Ainv=None):
     """TPFA pressure solve for saturation field `s` (Nx, Ny) and source `q`.
     Returns (p, Fx, Fy, iters, accepted). `accepted` compares the achieved
     true relative residual against `tol_accept` (defaults to `tol`) — float32
@@ -340,7 +357,12 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
             from historymatching_tpu.ops.pressure_pallas import pressure_solve_vmappable
 
             Nc, Mc = hierarchy[-1][2].shape
-            Ainv3 = coarse_inverse(hierarchy).reshape(-1, Nc, Mc)  # row-unflattened
+            if coarse_Ainv is not None:
+                # Frozen (per-pass) coarse inverse — preconditioner-only
+                # staleness; see simulate(freeze_coarse=...).
+                Ainv3 = coarse_Ainv
+            else:
+                Ainv3 = coarse_inverse(hierarchy).reshape(-1, Nc, Mc)  # row-unflattened
             hier_flat = tuple(x for lvl in hierarchy for x in lvl)
             # custom_vmap: per-member fused kernel when unbatched; under the
             # ensemble vmap the rule dispatches the block-batched kernel
@@ -355,7 +377,7 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
             Fx, Fy = face_fluxes(TXo, TYo, p)
             accepted = rel_res <= (tol if tol_accept is None else tol_accept)
             return p, Fx, Fy, iters, accepted
-        Minv = vcycle_solver(hierarchy)
+        Minv = vcycle_solver(hierarchy, Ainv=coarse_Ainv)
         restart_every = 8
     else:
         Minv = 1.0 / diag_solve
@@ -442,13 +464,14 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
     static_argnames=(
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
         "patience_iters", "scale_system", "packed", "two_pass", "twopass_j1",
-        "twopass_div", "refine", "keep_pressures",
+        "twopass_div", "refine", "keep_pressures", "freeze_coarse",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
              max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96,
              scale_system=True, packed=True, two_pass=True, twopass_j1=64,
-             twopass_div=4, refine=True, p_init=None, keep_pressures=False):
+             twopass_div=4, refine=True, p_init=None, keep_pressures=False,
+             freeze_coarse=False):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -507,33 +530,85 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         g.in_domain(model.prd_xy[:, 0], model.prd_xy[:, 1])
     )
 
-    def step(carry, xs_t):
-        s, p_prev = carry
-        inj_t, prd_t, p_ws = xs_t
-        q = _source_field(model, inj_t, prd_t).astype(dtype)
-        # Warm start from the previous step's pressure, or — when `p_init`
-        # is threaded in — from the previous PASS's same-step pressure.
-        # NOTE: linear extrapolation (2*p_t - p_{t-1}) was measured
-        # HARMFUL: it looks great on one seed (39s/1.0029 at patience 64)
-        # but flips another seed's posterior to non-improving at EVERY
-        # patience level (seed 2: RMSE 1.19 -> 1.27-1.29 vs 0.72 with the
-        # plain warm start). Do not reintroduce without multi-seed
-        # validation.
-        p0_t = p_prev if p_ws is None else p_ws
-        p, Fx, Fy, iters, conv = pressure_step(
-            model, s, q, p0_t, tol, maxiter, tol_accept, precond, use_pallas,
-            patience_iters, scale_system, packed, two_pass, twopass_j1,
-            twopass_div, refine,
-        )
-        s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt, max_substeps,
-                                      use_pallas, packed)
-        return (s_new, p), (s_new.reshape(-1), p.reshape(-1), iters, conv, n_sub)
+    # Frozen per-pass coarse inverse (`freeze_coarse`): the coarsest-level
+    # Newton-Schulz inverse is the priciest piece of the per-step
+    # preconditioner setup (device trace: 0.18 s of a 2.5 s N=1000 forward
+    # pass), yet it only enters as the V-cycle's coarse SOLVE — the fine
+    # operator stays exact, so computing it once from the initial
+    # saturation's mobility trades a slightly-stale coarse correction for
+    # 40x fewer Newton-Schulz runs. Preconditioner-only: any iterate
+    # meeting `tol` is equally valid.
+    freeze_k = 0
+    if (freeze_coarse and precond == "mg" and scale_system
+            and n_levels(g.Nx, g.Ny) >= 2):
+        # True -> once per pass; int k -> refresh every k steps (a once-per-
+        # pass inverse from the s0=all-oil mobility measurably raised the
+        # stragglers' f32 accuracy floor: parity ratio at seed 3 went
+        # 1.021 -> 1.078 regardless of recook budget; tracking the front
+        # every ~8 steps keeps the basis fresh).
+        freeze_k = nTime if freeze_coarse is True else int(freeze_coarse)
+        if freeze_k <= 0 or nTime % freeze_k:
+            raise ValueError(
+                f"freeze_coarse={freeze_coarse!r} must divide nTime={nTime}")
+
+    def make_coarse_Ainv(s):
+        from historymatching_tpu.ops.multigrid import coarse_inverse
+
+        hier = _scaled_solver_hierarchy(model, s)
+        Ainv = coarse_inverse(hier)
+        if use_pallas:
+            Nc, Mc = hier[-1][2].shape
+            return Ainv.reshape(-1, Nc, Mc)
+        return Ainv
+
+    def step_with(coarse_Ainv):
+        def step(carry, xs_t):
+            s, p_prev = carry
+            inj_t, prd_t, p_ws = xs_t
+            q = _source_field(model, inj_t, prd_t).astype(dtype)
+            # Warm start from the previous step's pressure, or — when
+            # `p_init` is threaded in — from the previous PASS's same-step
+            # pressure.
+            # NOTE: linear extrapolation (2*p_t - p_{t-1}) was measured
+            # HARMFUL: it looks great on one seed (39s/1.0029 at patience
+            # 64) but flips another seed's posterior to non-improving at
+            # EVERY patience level (seed 2: RMSE 1.19 -> 1.27-1.29 vs 0.72
+            # with the plain warm start). Do not reintroduce without
+            # multi-seed validation.
+            p0_t = p_prev if p_ws is None else p_ws
+            p, Fx, Fy, iters, conv = pressure_step(
+                model, s, q, p0_t, tol, maxiter, tol_accept, precond,
+                use_pallas, patience_iters, scale_system, packed, two_pass,
+                twopass_j1, twopass_div, refine, coarse_Ainv,
+            )
+            s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt,
+                                          max_substeps, use_pallas, packed)
+            return (s_new, p), (s_new.reshape(-1), p.reshape(-1), iters,
+                                conv, n_sub)
+        return step
 
     p0 = jnp.zeros(g.shape, dtype=dtype) + s0 * 0  # same vma as s0
     p_init_seq = (None if p_init is None
                   else jnp.asarray(p_init, dtype).reshape(nTime, *g.shape))
-    (_, _), (sats, press, iters, convs, subs) = lax.scan(
-        step, (s0, p0), (inj_seq, prd_seq, p_init_seq))
+    xs = (inj_seq, prd_seq, p_init_seq)
+    if freeze_k:
+        # Chunked scan: the coarse inverse is recomputed at each chunk
+        # boundary (outside the inner scan body) from the chunk's initial
+        # saturation, then closed over as a constant for `freeze_k` steps.
+        n_chunks = nTime // freeze_k
+        xs_c = jax.tree_util.tree_map(
+            lambda x: x.reshape(n_chunks, freeze_k, *x.shape[1:]), xs)
+
+        def chunk(carry, xs_chunk):
+            s, _ = carry
+            return lax.scan(step_with(make_coarse_Ainv(s)), carry, xs_chunk)
+
+        (_, _), outs = lax.scan(chunk, (s0, p0), xs_c)
+        sats, press, iters, convs, subs = jax.tree_util.tree_map(
+            lambda x: x.reshape(nTime, *x.shape[2:]), outs)
+    else:
+        (_, _), (sats, press, iters, convs, subs) = lax.scan(
+            step_with(None), (s0, p0), xs)
 
     wsats = jnp.concatenate([s0.reshape(1, -1), sats], axis=0)
     return SimResult(

@@ -373,10 +373,15 @@ def pack_coarse_inv(rows, P):
     return out.reshape(G, P * n_loc, Nc, P * Myc)
 
 
-def vcycle_solver(hierarchy, nu=2, omega=0.7, omega_c=1.4):
+def vcycle_solver(hierarchy, nu=2, omega=0.7, omega_c=1.4, Ainv=None):
     """Return M_inv: b -> approx A^{-1} b (one V-cycle, zero initial guess).
 
     The returned closure is a fixed SPD preconditioner suitable for PCG.
+    `Ainv` (optional): a precomputed coarse inverse — e.g. one frozen per
+    simulation pass (`simulate(freeze_coarse=True)`): the Newton-Schulz
+    inverse is the priciest piece of the per-step preconditioner setup, and
+    a slightly-stale coarse solve still preconditions well.
     """
-    Ainv = coarse_inverse(hierarchy)
+    if Ainv is None:
+        Ainv = coarse_inverse(hierarchy)
     return lambda b: vcycle_apply(hierarchy, Ainv, b, nu, omega, omega_c=omega_c)

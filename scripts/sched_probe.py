@@ -62,6 +62,52 @@ CANDIDATES = {
                               patience_iters=128)],
     "XL8J32x3T8J32": [dict(XLOOSE8, twopass_j1=32)] * 3 + [
         dict(twopass_div=8, twopass_j1=32)],
+    # round 5 (device-trace informed): the final pass's RECOOK kernel is
+    # 1.03 s of its 2.53 s (pass-1 0.57 s, refine 0.21 s, transport 0.25 s,
+    # glue ~0.45 s) and recooked members average ~550 of the 768-iteration
+    # cap per step — shave the recook budget (refine's compensated-residual
+    # correction solve still runs), the pass-1 cap, and the loose recooks.
+    "finalM512": [LOOSE8J32, LOOSE8J32, LOOSE8J32,
+                  dict(twopass_div=8, twopass_j1=32, maxiter=512)],
+    "finalM384": [LOOSE8J32, LOOSE8J32, LOOSE8J32,
+                  dict(twopass_div=8, twopass_j1=32, maxiter=384)],
+    "J16all": [dict(LOOSE8J32, twopass_j1=16)] * 3 + [
+        dict(twopass_div=8, twopass_j1=16)],
+    "looseM128": [dict(LOOSE8J32, maxiter=128)] * 3 + [
+        dict(twopass_div=8, twopass_j1=32)],
+    # round 6: J16all won round 5 (7.68 s, ratio max 1.042 — tighter than
+    # the J32 default's 1.090); combine with the recook-budget shave, and
+    # probe the J8 floor.
+    "J16M384": [dict(LOOSE8J32, twopass_j1=16)] * 3 + [
+        dict(twopass_div=8, twopass_j1=16, maxiter=384)],
+    "J16M512": [dict(LOOSE8J32, twopass_j1=16)] * 3 + [
+        dict(twopass_div=8, twopass_j1=16, maxiter=512)],
+    "J8all": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8)],
+    # round 7: J8all won round 6 (7.21 s, ratio max 1.021 — the tightest
+    # spread of any candidate); find the pass-1 floor and re-try the
+    # recook-budget shave on top.
+    "J4all": [dict(LOOSE8J32, twopass_j1=4)] * 3 + [
+        dict(twopass_div=8, twopass_j1=4)],
+    "J8M384": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=384)],
+    "J8M512": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=512)],
+    # round 8: J8M384 won round 7 (6.92 s; J4 == J8 bit-identical — the CG
+    # kernel advances in restart_every=8 chunks, so 8 is the pass-1 floor).
+    # Shave the recook budgets further.
+    "J8M320": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=320)],
+    "J8M256": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=256)],
+    "J8M384L192": [dict(LOOSE8J32, twopass_j1=8, maxiter=192)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=384)],
+    # round 9: J8M256 held parity at 6.63 s while the loose-recook shave
+    # (J8M384L192) broke seed 2 (1.093) — find the FINAL recook floor only.
+    "J8M192": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=192)],
+    "J8M128": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=128)],
 }
 
 

@@ -236,3 +236,37 @@ def test_compensated_residual_matches_f64_and_beats_plain_f32():
     rB = stencil_residual_ds(TX, TY, diag, jnp.stack([p64, 2 * p64]), b64)
     assert rB.shape == (2, Nx, Ny)
     assert float(jnp.max(jnp.abs(rB[0] - r_ds))) == 0.0
+
+
+def test_freeze_coarse_preconditioner_only():
+    """`simulate(freeze_coarse=True)` computes the coarse Newton-Schulz
+    inverse ONCE per pass (from the initial saturation's scaled hierarchy)
+    instead of every time step. It only changes the V-cycle's coarse solve
+    — a preconditioner — so converged solutions must agree to solver
+    tolerance, and `cg_ok` must hold on both sides."""
+    m = default_model(Nx=32, Ny=32)
+    rng = np.random.default_rng(5)
+    perm = 0.1 + np.exp(2.0 * rng.normal(size=(m.Nxy,)))
+    m = m.replace(K=jnp.stack([jnp.asarray(perm.reshape(m.shape))] * 2))
+    s0 = jnp.zeros(m.Nxy)
+
+    kw = dict(use_pallas=False, tol=1e-9, maxiter=2048)
+    a = simulate(m, s0, 0.025, 8, **kw)
+    for freeze in (True, 4):  # once per pass / refresh every 4 steps
+        b = simulate(m, s0, 0.025, 8, freeze_coarse=freeze, **kw)
+        assert bool(a.cg_ok) and bool(b.cg_ok)
+        assert float(jnp.max(jnp.abs(a.wsats - b.wsats))) < 1e-7
+        # identical physics: same CFL substep counts
+        assert np.array_equal(np.asarray(a.substeps), np.asarray(b.substeps))
+    with pytest.raises(ValueError):  # interval must divide nTime
+        simulate(m, s0, 0.025, 8, freeze_coarse=3, **kw)
+
+    # The knob is static and must alter the traced program: the frozen
+    # variant carries the coarse inverse into the scan instead of building
+    # it per step (one spd_inverse while-loop outside the scan body).
+    def trace(**kw):
+        return str(jax.make_jaxpr(
+            lambda s: simulate(m, s, 0.025, 2, use_pallas=False, **kw).wsats
+        )(s0))
+
+    assert trace(freeze_coarse=True) != trace()
