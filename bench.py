@@ -482,25 +482,29 @@ def _tpu_tests_fields():
 # ES-MDA's posterior is produced by the FINAL pass's update, so only pass 4's
 # innovations must be accurate; passes 1-3 merely steer intermediate
 # ensembles through inflated-noise updates and tolerate a looser solve.
-# Loose passes also shrink the two-pass recook (pass-1 cap 32 iters, worst
+# Loose passes also shrink the two-pass recook (pass-1 cap J1 iters, worst
 # eighth re-solved instead of the worst quarter). Measured on the chip
-# (scripts/sched_probe.py; N=1000 wall-clock / f32-f64 posterior-RMSE ratio
-# at the N=192 parity shape, seed 1; base settings = uniform tol 2e-4):
-#     uniform tight (old default)            : 16.9 s, ratio 1.059
-#     loose x3 + tight                       : 14.2 s, ratio 1.057
-#     loose-J32-div8 x3 + tight              : 10.4 s, ratio 1.037
-#     loose-J32-div8 x3 + tight-div8         :  9.2 s, ratio 1.037
-#     loose-J32-div8 x3 + tight-div8-J32     :  8.7 s, ratio 1.035  <- default
-# (Single-seed screening numbers vs the round-2 iterative f64 refs.) The
-# J32 final pass was initially held back to protect the posterior's tails;
-# re-screened against the EXACT-solve oracle references at 3 seeds it is
-# quality-equivalent to tight-div8 (medians 1.005 vs 0.990, both PASS, and
-# the official multi-seed artifacts are re-pinned at this default), so the
-# ~0.5-2 s saving is free.
+# (scripts/sched_probe.py, 11 screening rounds; N=1000 wall-clock /
+# worst-of-5-seeds f32/f64-exact posterior-RMSE ratio at the N=192 parity
+# shape; base settings = uniform tol 2e-4):
+#     uniform tight (round-2 default)        : 16.9 s
+#     loose-J32-div8 x3 + tight-div8-J32     :  8.7 s, max ratio 1.090
+#     J1=8 everywhere (pass-1 cap floor: the CG kernel advances in
+#       restart_every=8 chunks, so J8 == J4 bit-identical)
+#       + final-pass recook budget 128       :  6.4 s, max ratio 1.022 <- default
+# Rejected with measurements (sched_probe rounds 8-11):
+#   - shaving the LOOSE recook budget to 192 broke seed 2 (1.093) — the
+#     intermediate ensembles tolerate loose tolerance but not a truncated
+#     straggler recook;
+#   - freeze_coarse (coarse NS inverse reused across steps) in any
+#     placement: ~0.6-0.9 s cheaper but under an iteration cap the
+#     preconditioner quality IS accuracy — seed-3 ratio 1.022 -> 1.07 and
+#     flagship posterior RMSE 1.082 -> 1.10 even when only passes 1-3
+#     freeze (the damage travels through the intermediate ensembles).
 _SCHED_LOOSE = dict(tol=2e-3, maxiter=256, patience_iters=128,
-                    twopass_j1=32, twopass_div=8)
+                    twopass_j1=8, twopass_div=8)
 DEFAULT_SCHED = [_SCHED_LOOSE, _SCHED_LOOSE, _SCHED_LOOSE,
-                 dict(twopass_div=8, twopass_j1=32)]
+                 dict(twopass_div=8, twopass_j1=8, maxiter=128)]
 
 
 def bench_sim_kwargs():

@@ -108,6 +108,31 @@ CANDIDATES = {
         dict(twopass_div=8, twopass_j1=8, maxiter=192)],
     "J8M128": [dict(LOOSE8J32, twopass_j1=8)] * 3 + [
         dict(twopass_div=8, twopass_j1=8, maxiter=128)],
+    # round 10: J8M128 held 5-seed parity at 6.36 s (round 9; re-measured
+    # 6.37 s, ratios {0.995, 0.949, 1.022, 1.003, 0.968} — adopted as the
+    # official DEFAULT_SCHED). Stack the freeze_coarse interval (coarse
+    # Newton-Schulz inverse recomputed every k of the 40 steps instead of
+    # every step; preconditioner-only, but the once-per-pass form measurably
+    # hurt straggler accuracy — probe the interval) on top of it.
+    # MEASURED: fc4 5.58 s but seed-3 1.072 + flagship rmse 1.082 -> 1.095;
+    # fc8 5.45 s, seeds 1-2 at 1.065/1.084. REJECTED.
+    "J8M128fc4": [dict(LOOSE8J32, twopass_j1=8, freeze_coarse=4)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=128, freeze_coarse=4)],
+    "J8M128fc8": [dict(LOOSE8J32, twopass_j1=8, freeze_coarse=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=128, freeze_coarse=8)],
+    # round 11: fc everywhere buys 0.8-0.9 s but costs straggler accuracy
+    # where it matters (fc4 seed-3 ratio 1.072, fc8 seeds 1-2 ~1.07-1.08 —
+    # under an iteration cap the preconditioner quality IS accuracy). The
+    # posterior only reads the FINAL pass's innovations, so freeze the
+    # coarse inverse on the loose passes only and keep pass 4 exact.
+    # MEASURED: fcL4 5.78 s, seed-3 1.069, flagship rmse 1.0995; fcL8
+    # 5.67 s, seed-2 1.100 — a degraded intermediate update hands pass 4 a
+    # worse ensemble, so the loss survives the exact final pass. REJECTED;
+    # freeze_coarse stays a capability (simulate kwarg), not a default.
+    "J8M128fcL4": [dict(LOOSE8J32, twopass_j1=8, freeze_coarse=4)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=128)],
+    "J8M128fcL8": [dict(LOOSE8J32, twopass_j1=8, freeze_coarse=8)] * 3 + [
+        dict(twopass_div=8, twopass_j1=8, maxiter=128)],
 }
 
 
