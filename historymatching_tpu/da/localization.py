@@ -207,20 +207,35 @@ def domain_partition(grid, obs_inds, nTime=1, steps=(8, 8), radius=1.2, sharpnes
 
 
 def rectangular_partitioning(shape, steps, do_ind=True):
-    """N-D rectangular batch generation for batched local analysis.
+    """Tile an N-D grid into rectangular domains of ~`steps` cells per axis.
 
-    Host-side (static): returns a list of flat-index arrays, one per batch
-    (reference tools/localization.py:95-145). Useful to group cells into
-    domains so the per-domain local update runs as one batched matmul.
+    Host-side (static) domain generation for the batched local analysis
+    (capability parity with reference tools/localization.py:95-145; the
+    construction here is an outer sum of per-axis flat-index offsets).
+    Returns a list of flat-index arrays, one per domain, covering every cell
+    exactly once. With `do_ind=False` returns per-axis coordinate arrays
+    instead.
+
+    Derivation: a row-major flat index decomposes as sum_k i_k * stride_k,
+    so a rectangular domain (the cartesian product of per-axis contiguous
+    blocks) has flat indices equal to the broadcast sum of the per-axis
+    `block * stride` offset vectors. When `steps` divides `shape` evenly
+    (the only case `domain_partition` produces), the result is identical to
+    the blocked reshape
+    ``arange(prod(shape)).reshape(n0, s0, n1, s1, ...).transpose(evens +
+    odds).reshape(nDom, -1)`` (tested). Uneven shapes split each axis into
+    round(n/step) near-equal blocks.
     """
     assert len(shape) == len(steps)
-    nLocs = [round(n / d) for n, d in zip(shape, steps)]
-    edge_partitions = [np.array_split(np.arange(n), nLoc) for n, nLoc in zip(shape, nLocs)]
-    batches = []
-    for batch_edges in itertools.product(*edge_partitions):
-        batch_rect = np.meshgrid(*batch_edges, indexing="ij")
-        coords = [ii.flatten() for ii in batch_rect]
-        batches.append(coords)
-    if do_ind:
-        batches = [np.ravel_multi_index(b, shape) for b in batches]
-    return batches
+    axis_blocks = [
+        np.array_split(np.arange(n), max(1, round(n / s)))
+        for n, s in zip(shape, steps)
+    ]
+    strides = np.concatenate([np.cumprod(shape[:0:-1])[::-1], [1]])
+    domains = []
+    for blocks in itertools.product(*axis_blocks):
+        flat = np.zeros(1, dtype=np.intp)
+        for blk, stride in zip(blocks, strides):
+            flat = (flat[:, None] + blk[None, :] * stride).reshape(-1)
+        domains.append(flat if do_ind else np.unravel_index(flat, shape))
+    return domains

@@ -27,6 +27,7 @@ applied to the production-forecast ensemble itself — no separate code needed.
 
 from __future__ import annotations
 
+import time
 
 import jax
 import jax.numpy as jnp
@@ -216,12 +217,18 @@ def _ies_inner(W, Eo_w, y_w, D_w, xStep):
     return jnp.where(ok, W_new, W)
 
 
-def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4):
+def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4,
+        callback=None):
     """Iterative ensemble smoother (subspace GN; reference HistoryMatch.py:906-944).
 
     `obs_ens` is a *callable* E -> observed ensemble (the forward model runs
     once per iteration; host loop around a jitted inner step).
     Returns (posterior_ens, stats) with stats = {"E": [...], "Eo": [...]}.
+    `callback` (optional): per-iteration progress hook — iMax host
+    iterations each cost N simulations, so long runs should report; called
+    with dict(iter, iMax, elapsed_s, E, Eo, W) after each forward+GN step
+    (reference analogue: the tqdm bars threaded through `apply`,
+    tools/utils.py:245-269).
     """
     prior_ens = jnp.asarray(prior_ens)
     y = jnp.asarray(obs) @ decorr
@@ -230,12 +237,18 @@ def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4):
     W = jnp.eye(prior_ens.shape[0], dtype=prior_ens.dtype)
     inner = jax.jit(_ies_inner)
     stats = {"E": [], "Eo": []}
-    for _ in range(iMax):
+    t0 = time.perf_counter()
+    for itr in range(iMax):
         E = x0 + W @ X0
         Eo = jnp.asarray(obs_ens(E))
         stats["E"].append(E)
         stats["Eo"].append(Eo)
         W = inner(W, Eo @ decorr, y, D, xStep)
+        if callback is not None:
+            jax.block_until_ready(W)
+            callback(dict(iter=itr + 1, iMax=iMax,
+                          elapsed_s=time.perf_counter() - t0,
+                          E=E, Eo=Eo, W=W))
     stats = {k: jnp.stack(v) for k, v in stats.items()}
     return x0 + W @ X0, stats
 
@@ -277,9 +290,11 @@ def _recompose(x0, X0, Ws):
     return x0 + jnp.einsum("mab,bm->am", Ws, X0)
 
 
-def iles(prior_ens, obs_ens, obs, perturbs, decorr, taper, xStep=1.0, iMax=4):
+def iles(prior_ens, obs_ens, obs, perturbs, decorr, taper, xStep=1.0, iMax=4,
+         callback=None):
     """Localized iterative ensemble smoother: one weight matrix per state
-    element (reference HistoryMatch.py:1007-1064), vmapped over cells."""
+    element (reference HistoryMatch.py:1007-1064), vmapped over cells.
+    `callback`: per-iteration hook, see `ies` (receives Ws, not W)."""
     prior_ens = jnp.asarray(prior_ens)
     N, M = prior_ens.shape
     X0, x0 = center(prior_ens)
@@ -287,13 +302,19 @@ def iles(prior_ens, obs_ens, obs, perturbs, decorr, taper, xStep=1.0, iMax=4):
     weights = _taper_weights(taper)
     inner = jax.jit(_iles_inner)
     stats = {"E": [], "Eo": []}
-    for _ in range(iMax):
+    t0 = time.perf_counter()
+    for itr in range(iMax):
         E = _recompose(x0, X0, Ws)
         Eo = jnp.asarray(obs_ens(E))
         stats["E"].append(E)
         stats["Eo"].append(Eo)
         innov = (jnp.asarray(obs) - Eo - perturbs) @ decorr
         Ws = inner(Ws, Eo @ decorr, innov, xStep, weights)
+        if callback is not None:
+            jax.block_until_ready(Ws)
+            callback(dict(iter=itr + 1, iMax=iMax,
+                          elapsed_s=time.perf_counter() - t0,
+                          E=E, Eo=Eo, Ws=Ws))
     stats = {k: jnp.stack(v) for k, v in stats.items()}
     return _recompose(x0, X0, Ws), stats
 
@@ -310,7 +331,7 @@ def _recompose_domains(x0, X0, Ws, domains):
 
 
 def iles_domains(prior_ens, obs_ens, obs, perturbs, decorr, taper_dom, domains,
-                 xStep=1.0, iMax=4):
+                 xStep=1.0, iMax=4, callback=None):
     """Domain-batched localized iterative ensemble smoother.
 
     The per-cell ILES (above) materializes one N x N weight matrix per state
@@ -321,7 +342,8 @@ def iles_domains(prior_ens, obs_ens, obs, perturbs, decorr, taper_dom, domains,
     is nDom batched MXU solves instead of M.
 
     With singleton domains (domains = arange(M)[:, None], taper_dom = taper)
-    this reproduces `iles` exactly (tested). Same return contract as `iles`.
+    this reproduces `iles` exactly (tested). Same return contract as `iles`;
+    `callback`: per-iteration hook, see `ies` (receives Ws).
     """
     prior_ens = jnp.asarray(prior_ens)
     N = prior_ens.shape[0]
@@ -333,13 +355,19 @@ def iles_domains(prior_ens, obs_ens, obs, perturbs, decorr, taper_dom, domains,
     inner = jax.jit(_iles_inner)
     recompose = jax.jit(_recompose_domains)
     stats = {"E": [], "Eo": []}
-    for _ in range(iMax):
+    t0 = time.perf_counter()
+    for itr in range(iMax):
         E = recompose(x0, X0, Ws, domains)
         Eo = jnp.asarray(obs_ens(E))
         stats["E"].append(E)
         stats["Eo"].append(Eo)
         innov = (jnp.asarray(obs) - Eo - perturbs) @ decorr
         Ws = inner(Ws, Eo @ decorr, innov, xStep, weights)
+        if callback is not None:
+            jax.block_until_ready(Ws)
+            callback(dict(iter=itr + 1, iMax=iMax,
+                          elapsed_s=time.perf_counter() - t0,
+                          E=E, Eo=Eo, Ws=Ws))
     stats = {k: jnp.stack(v) for k, v in stats.items()}
     return recompose(x0, X0, Ws, domains), stats
 
@@ -353,7 +381,7 @@ def mda_alphas(n):
 
 
 def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=None,
-           taper_dom=None, noise_dtype=jnp.float32):
+           taper_dom=None, noise_dtype=jnp.float32, callback=None, start_pass=0):
     """ES-MDA: iterated stochastic ES with inflated obs-error covariance.
 
     Each step i re-runs `forward_obs` on the current ensemble and applies
@@ -371,6 +399,16 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=No
     dtype and cast to the pipeline's — so float32 and float64 runs of the
     same key see IDENTICAL noise (paired-seed parity testing); pass None to
     draw in the pipeline dtype.
+
+    `callback` (optional): progress/checkpoint hook, called after each pass
+    with dict(pass_=i+1, n_passes, alpha, elapsed_s, E, key) — `E` is the
+    post-update ensemble and `key` the RNG state for the REMAINING passes,
+    exactly what a resume needs (`checkpoint.save_checkpoint` the pair).
+
+    `start_pass` (default 0): resume support — skip the first `start_pass`
+    passes entirely (no RNG splits), continuing from `prior_ens`/`key` as
+    captured by a pass-`start_pass` callback. The resumed run bit-matches
+    the uninterrupted one (tests/test_aux.py::test_es_mda_resume).
     """
     E = jnp.asarray(prior_ens)
     dtype = E.dtype  # the whole pass stays in the ensemble's precision
@@ -385,7 +423,10 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=No
     if len(fwd_per_pass) != len(alphas):
         raise ValueError(f"{len(fwd_per_pass)} forward operators for "
                          f"{len(alphas)} MDA passes")
-    for a, fwd in zip(alphas, fwd_per_pass):
+    t0 = time.perf_counter()
+    for i, (a, fwd) in enumerate(zip(alphas, fwd_per_pass)):
+        if i < start_pass:
+            continue
         key, sub = jax.random.split(key)
         Eo = jnp.asarray(fwd(E)).astype(dtype)
         perturbs = jnp.sqrt(a) * gaussian_noise(sub, N, p, L=R12_noise).astype(dtype)
@@ -396,4 +437,9 @@ def es_mda(prior_ens, forward_obs, obs, R12, alphas, key, taper=None, domains=No
             E = ens_update0_loc(E, Eo, obs, perturbs, dec, taper)
         else:
             E = ens_update0(E, Eo, obs, perturbs, dec)
+        if callback is not None:
+            jax.block_until_ready(E)
+            callback(dict(pass_=i + 1, n_passes=len(fwd_per_pass),
+                          alpha=float(a), elapsed_s=time.perf_counter() - t0,
+                          E=E, key=key))
     return E

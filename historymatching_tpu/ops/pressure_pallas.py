@@ -50,7 +50,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every
     L = len(hier_flat) // 3
     n_in = len(hier_flat) + 4
 
-    def kernel(*refs):
+    def pressure_pcg_kernel(*refs):
         ins, (p_out, it_out, rel_out) = refs[:n_in], refs[n_in:]
         vals = [r[:] for r in ins]
         hier = [tuple(vals[3 * lv : 3 * lv + 3]) for lv in range(L)]
@@ -79,7 +79,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every
         pl.BlockSpec(memory_space=pltpu.SMEM),
     )
     p, it, rel = pl.pallas_call(
-        kernel,
+        pressure_pcg_kernel,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=(
@@ -116,7 +116,7 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, w, tol, maxiter, resta
     L = len(hier_flat) // 3
     n_in = len(hier_flat) + 4
 
-    def kernel(*refs):
+    def pressure_pcg_batched_kernel(*refs):
         ins, (p_out, it_out, rel_out) = refs[:n_in], refs[n_in:]
         vals = [r[:] for r in ins]  # each (block, ...)
         hier = [tuple(vals[3 * lv : 3 * lv + 3]) for lv in range(L)]
@@ -149,7 +149,7 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, w, tol, maxiter, resta
         pl.BlockSpec((block, 1, 1), lambda i: (i, 0, 0)),
     )
     p, it, rel = pl.pallas_call(
-        kernel,
+        pressure_pcg_batched_kernel,
         grid=(N // block,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -192,7 +192,7 @@ def pressure_solve_pallas_packed(hier_flat_p, Ainv3p, qp, p0p, wp, P, tol, maxit
     L = len(hier_flat_p) // 3
     n_in = len(hier_flat_p) + 4
 
-    def kernel(*refs):
+    def pressure_pcg_packed_kernel(*refs):
         ins, (p_out, it_out, rel_out) = refs[:n_in], refs[n_in:]
         vals = [r[:] for r in ins]
         hier = [tuple(vals[3 * lv: 3 * lv + 3]) for lv in range(L)]
@@ -220,7 +220,7 @@ def pressure_solve_pallas_packed(hier_flat_p, Ainv3p, qp, p0p, wp, P, tol, maxit
         pl.BlockSpec((block_pairs, 1, W), lambda i: (i, 0, 0)),
     )
     p, it, rel = pl.pallas_call(
-        kernel,
+        pressure_pcg_packed_kernel,
         grid=(G // block_pairs,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(vw, vo, swc, sor):
-    def kernel(nsub_ref, dtspv_ref, s_ref, fx_ref, fy_ref, q_ref, out_ref):
+    def transport_upwind_kernel(nsub_ref, dtspv_ref, s_ref, fx_ref, fy_ref, q_ref, out_ref):
         n_sub = nsub_ref[0, 0]
         dts_pv = dtspv_ref[0, 0]  # (dt / n_sub) / pore_volume
 
@@ -61,7 +61,7 @@ def _make_kernel(vw, vo, swc, sor):
 
         out_ref[:] = jax.lax.fori_loop(0, n_sub, substep, s_ref[:])
 
-    return kernel
+    return transport_upwind_kernel
 
 
 @partial(jax.jit, static_argnames=("fluid_t", "interpret"))
@@ -101,7 +101,7 @@ def transport_substeps_pallas(s, Fx, Fy, q, dts_over_pv, n_sub, fluid_t, interpr
 def _make_kernel_batched(vw, vo, swc, sor, ndim):
     z = [(0, 0)] * (ndim - 2)
 
-    def kernel(nmax_ref, nsub_ref, dtspv_ref, s_ref, fx_ref, fy_ref, q_ref, out_ref):
+    def transport_upwind_batched_kernel(nmax_ref, nsub_ref, dtspv_ref, s_ref, fx_ref, fy_ref, q_ref, out_ref):
         # whole (nblocks, 1) SMEM array (grid-sliced SMEM blocks are
         # rejected by the TPU lowering); pick this program's entry.
         n_max = nmax_ref[pl.program_id(0), 0]
@@ -140,7 +140,7 @@ def _make_kernel_batched(vw, vo, swc, sor, ndim):
 
         out_ref[:] = jax.lax.fori_loop(0, n_max, substep, s_ref[:])
 
-    return kernel
+    return transport_upwind_batched_kernel
 
 
 @partial(jax.jit, static_argnames=("fluid_t", "block", "interpret"))
@@ -190,7 +190,7 @@ def _make_kernel_packed(vw, vo, swc, sor):
         _shift_up,
     )
 
-    def kernel(nmax_ref, nsub_ref, dtspv_ref, s_ref, fxf_ref, fyf_ref, q_ref, out_ref):
+    def transport_upwind_packed_kernel(nmax_ref, nsub_ref, dtspv_ref, s_ref, fxf_ref, fyf_ref, q_ref, out_ref):
         n_max = nmax_ref[pl.program_id(0), 0]
         nsub_f = nsub_ref[:]   # (G, Nx, W) per-member substep counts (float)
         dts_pv = dtspv_ref[:]  # (G, Nx, W)
@@ -223,7 +223,7 @@ def _make_kernel_packed(vw, vo, swc, sor):
 
         out_ref[:] = jax.lax.fori_loop(0, n_max, substep, s_ref[:])
 
-    return kernel
+    return transport_upwind_packed_kernel
 
 
 @partial(jax.jit, static_argnames=("fluid_t", "P", "block_pairs", "interpret"))

@@ -213,13 +213,20 @@ def gd_scan(objective, u, *, chol=1.0, nEns=10, precond=False, nrmlz=True,
     return path, objs, info
 
 
-def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=None, quiet=True):
+def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=None,
+       quiet=True, callback=None):
     """Gradient (steepest) descent/ascent driver (reference tools/enopt.py:75-107).
 
     Host-side outer loop; all objective evaluations inside `nabla` and
     `line_search` are batched compiled calls. Returns (path, objs, info):
     path (n+1, d) iterates, objs (n+1,) objective values, info dict-list.
+    `callback` (optional): per-iteration progress hook, called with
+    dict(iter, nIter, J, u, elapsed_s, accepted) after each gradient +
+    line-search round (the reference threads tqdm bars instead,
+    Optimise.py:315-318).
     """
+    import time
+
     del quiet  # no progress bars: the loop body is a few compiled launches
     nabla = nabla if nabla is not None else EnGrad()
     line_search = line_search if line_search is not None else Backtracker()
@@ -230,6 +237,7 @@ def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=No
     states = [[np.asarray(u), float(jnp.asarray(obj_scalar(u))), {}]]
     info = {}
     itr = 0
+    t0 = time.perf_counter()
     for itr in range(nIter):
         u_cur, J, info = states[-1]
         key, sub = jax.random.split(key)
@@ -238,6 +246,12 @@ def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=No
         if nrmlz:
             grad = grad / np.sqrt(np.mean(grad**2))
         updated = line_search(objective, u_cur, J, grad)
+        if callback is not None:
+            callback(dict(iter=itr + 1, nIter=nIter,
+                          J=updated[1] if updated else J,
+                          u=updated[0] if updated else u_cur,
+                          elapsed_s=time.perf_counter() - t0,
+                          accepted=bool(updated)))
         if updated:
             states.append([updated[0], updated[1], updated[2]])
         else:

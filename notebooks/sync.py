@@ -62,15 +62,15 @@ def parse_percent(text):
     return cells
 
 
-def convert(path):
-    path = Path(path)
-    cells = parse_percent(path.read_text())
+def render(path):
+    """The notebook object a .py source converts to (deterministic)."""
+    cells = parse_percent(Path(path).read_text())
     # Deterministic cell ids (nbformat draws random hex by default): the
     # committed .ipynb must be byte-stable under re-sync so the suite can
     # enforce .py <-> .ipynb consistency (tests/test_examples.py).
     for i, cell in enumerate(cells):
         cell["id"] = f"cell-{i}"
-    nb = nbformat.v4.new_notebook(
+    return nbformat.v4.new_notebook(
         cells=cells,
         metadata={
             "kernelspec": {"display_name": "Python 3", "language": "python",
@@ -78,14 +78,40 @@ def convert(path):
             "language_info": {"name": "python"},
         },
     )
-    out = path.with_suffix(".ipynb")
-    nbformat.write(nb, str(out))
+
+
+def convert(path):
+    out = Path(path).with_suffix(".ipynb")
+    nbformat.write(render(path), str(out))
     print(f"wrote {out}")
 
 
+def check(path):
+    """True iff the committed .ipynb matches what `convert` would write
+    (pre-commit hook mode: `python notebooks/sync.py --check`)."""
+    import json
+
+    out = Path(path).with_suffix(".ipynb")
+    if not out.exists():
+        print(f"MISSING {out}")
+        return False
+    want = json.loads(nbformat.writes(render(path)))
+    with open(out) as f:
+        got = json.load(f)
+    if got != want:
+        print(f"STALE {out}: re-run notebooks/sync.py")
+        return False
+    return True
+
+
 if __name__ == "__main__":
-    targets = sys.argv[1:] or sorted(
+    argv = sys.argv[1:]
+    check_mode = "--check" in argv
+    argv = [a for a in argv if a != "--check"]
+    targets = argv or sorted(
         p for p in Path(__file__).parent.glob("*.py") if p.name != "sync.py"
     )
+    if check_mode:
+        sys.exit(0 if all([check(t) for t in targets]) else 1)
     for t in targets:
         convert(t)

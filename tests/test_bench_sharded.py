@@ -37,25 +37,76 @@ def _bench_setup(key):
     return model, prior, obs, R12, k_mda
 
 
+def _fwd_obs(model, mesh_):
+    def fn(E):
+        _, prods = forward_model(
+            model, E, dt=0.025, nTime=NTIME, keep_wsats=False, mesh=mesh_
+        )
+        return prods.reshape(prods.shape[0], -1)
+
+    return fn
+
+
 def test_bench_workload_sharded_matches_unsharded(key):
     model, prior, obs, R12, k_mda = _bench_setup(key)
     mesh = ens_mesh()  # all 8 virtual devices
 
-    def fwd_obs(mesh_):
-        def fn(E):
-            _, prods = forward_model(
-                model, E, dt=0.025, nTime=NTIME, keep_wsats=False, mesh=mesh_
-            )
-            return prods.reshape(prods.shape[0], -1)
-
-        return fn
-
-    post_ref = es_mda(prior, fwd_obs(None), obs, R12, mda_alphas(2), k_mda)
+    post_ref = es_mda(prior, _fwd_obs(model, None), obs, R12, mda_alphas(2), k_mda)
     post_sh = es_mda(
-        shard_ens(prior, mesh), fwd_obs(mesh), obs, R12, mda_alphas(2), k_mda
+        shard_ens(prior, mesh), _fwd_obs(model, mesh), obs, R12, mda_alphas(2), k_mda
     )
     post_ref, post_sh = np.asarray(post_ref), np.asarray(post_sh)
     assert np.all(np.isfinite(post_sh))
     # f64 on CPU: the sharded program reorders reductions across devices only
     # in the analysis matmuls (GSPMD collectives) — tight tolerance holds.
+    assert np.allclose(post_sh, post_ref, atol=1e-8), np.abs(post_sh - post_ref).max()
+
+
+def test_bench_localized_sharded_matches_unsharded(key):
+    """The domain-batched localized ES-MDA — lax.scan over domains with a
+    scatter `.at[].set` onto the member-sharded ensemble (da/update.py
+    `ens_update0_loc_domains`) — sharded over the 8-device mesh must match
+    the unsharded run at the bench grid shape (round-3 VERDICT item 4a:
+    scan + scatter under GSPMD is exactly the kind of program that silently
+    re-shards)."""
+    from historymatching_tpu.da.localization import domain_partition
+    from historymatching_tpu.parallel.runner import prod_inds
+
+    model, prior, obs, R12, k_mda = _bench_setup(key)
+    mesh = ens_mesh()
+    domains, taper_dom = domain_partition(
+        model.grid, np.asarray(prod_inds(model)), nTime=NTIME,
+        steps=(4, 4), radius=1.2,  # the bench's localized config
+    )
+    loc_kw = dict(domains=domains, taper_dom=jnp.asarray(taper_dom, prior.dtype))
+
+    post_ref = es_mda(prior, _fwd_obs(model, None), obs, R12, mda_alphas(2),
+                      k_mda, **loc_kw)
+    post_sh = es_mda(shard_ens(prior, mesh), _fwd_obs(model, mesh), obs, R12,
+                     mda_alphas(2), k_mda, **loc_kw)
+    post_ref, post_sh = np.asarray(post_ref), np.asarray(post_sh)
+    assert np.all(np.isfinite(post_sh))
+    assert np.allclose(post_sh, post_ref, atol=1e-8), np.abs(post_sh - post_ref).max()
+
+
+def test_ies_sharded_matches_unsharded(key):
+    """IES with the forward model sharded over the mesh (round-3 VERDICT
+    item 4b): the N x N weight-matrix Gauss-Newton iteration consumes a
+    member-sharded observed ensemble each iteration; result must match the
+    unsharded run."""
+    from historymatching_tpu.da.update import decorrelator, ies
+    from historymatching_tpu.utils import gaussian_noise
+
+    model, prior, obs, R12, k_mda = _bench_setup(key)
+    mesh = ens_mesh()
+    p = obs.shape[0]
+    perturbs = gaussian_noise(k_mda, N, p, L=R12)
+    dec = decorrelator(R12)
+
+    post_ref, _ = ies(prior, _fwd_obs(model, None), obs, perturbs, dec,
+                      xStep=0.4, iMax=2)
+    post_sh, _ = ies(shard_ens(prior, mesh), _fwd_obs(model, mesh), obs,
+                     perturbs, dec, xStep=0.4, iMax=2)
+    post_ref, post_sh = np.asarray(post_ref), np.asarray(post_sh)
+    assert np.all(np.isfinite(post_sh))
     assert np.allclose(post_sh, post_ref, atol=1e-8), np.abs(post_sh - post_ref).max()

@@ -38,6 +38,27 @@ def test_rectangular_partitioning_covers():
     assert np.array_equal(allidx, np.arange(4 * 13))
 
 
+def test_rectangular_partitioning_divisible_is_blocked_reshape():
+    """On evenly-divisible grids (the only case domain_partition produces)
+    the partitioning must equal the blocked reshape/transpose one-liner."""
+    Nx, Ny, sx, sy = 8, 6, 4, 2
+    expect = (np.arange(Nx * Ny)
+              .reshape(Nx // sx, sx, Ny // sy, sy)
+              .transpose(0, 2, 1, 3)
+              .reshape(-1, sx * sy))
+    got = np.stack(loc.rectangular_partitioning([Nx, Ny], [sx, sy]))
+    assert np.array_equal(got, expect)
+    # 3-D smoke: exact cover with equal-sized domains
+    got3 = loc.rectangular_partitioning([4, 4, 6], [2, 4, 3])
+    assert len(got3) == 2 * 1 * 2 and all(len(b) == 24 for b in got3)
+    assert np.array_equal(np.sort(np.concatenate(got3)), np.arange(96))
+    # coordinate form round-trips through ravel_multi_index
+    coords = loc.rectangular_partitioning([4, 13], [2, 4], do_ind=False)
+    flats = loc.rectangular_partitioning([4, 13], [2, 4])
+    for c, f in zip(coords, flats):
+        assert np.array_equal(np.ravel_multi_index(c, (4, 13)), f)
+
+
 def test_dist_to_obs_shape_and_tiling():
     from historymatching_tpu.grid import Grid2D
 
