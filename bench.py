@@ -452,13 +452,16 @@ def _ies_fields(case, sim_only_kw):
 
 
 def _enopt_fields():
-    """EnOpt wall-clock (round-3 VERDICT item 3): one `gd_scan` NPV
+    """EnOpt wall-clock (round-3 VERDICT item 3): multistart `gd_scan` NPV
     optimisation of the injector position (the reference Optimise.py
-    inj_xy case, :431-468, at its 20x20/nTime=40 scale) as ONE compiled
-    program — the whole descent is a single device launch."""
+    inj_xy case — :431-468 runs GD from 4 random starts, serially) as ONE
+    compiled program: all 4 descents advance in a single device launch
+    (`gd_scan_multi`). Gain is reported for the best start: uniform starts
+    can land in the f32-garbage corner basin where the cg_ok gate zeroes
+    the NPV (opt/npv.py) and that start correctly freezes."""
     from historymatching_tpu.da.geostat import gaussian_fields_fft
     from historymatching_tpu.models.ressim import ResSim
-    from historymatching_tpu.opt.enopt import gd_scan
+    from historymatching_tpu.opt.enopt import gd_scan_multi
     from historymatching_tpu.opt.npv import NPVConfig, npv_value
 
     Lx, Ly, rate0 = 2.0, 1.0, 1.5
@@ -479,18 +482,21 @@ def _enopt_fields():
     def obj(u):
         return npv_value(base, cfg, inj_xy=u.reshape(1, 2))
 
-    u0 = jax.random.uniform(k_u0, (2,)) * jnp.array([Lx, Ly])
+    U0 = jax.random.uniform(k_u0, (4, 2)) * jnp.array([Lx, Ly])
     kw = dict(chol=0.1, nIter=30, key=k_gd)
-    path, objs, info = gd_scan(obj, u0, **kw)  # warm-up (compiles the scan)
+    paths, objs, info = gd_scan_multi(obj, U0, **kw)  # warm-up (compiles)
     t0 = time.perf_counter()
-    path, objs, info = gd_scan(obj, u0, **kw)
+    paths, objs, info = gd_scan_multi(obj, U0, **kw)
     elapsed = time.perf_counter() - t0
+    best = int(np.argmax(objs[:, -1]))
     return {
         "enopt_value": round(elapsed, 3),
-        "enopt_config": "gd_scan inj_xy 20x20 nTime=40 nIter=30 (Optimise.py:431)",
-        "enopt_npv_gain": round(float(objs[-1] - objs[0]), 4),
-        "enopt_iters": info["nIter"],
-        "enopt_improves": bool(objs[-1] > objs[0]),
+        "enopt_config": ("gd_scan_multi inj_xy 20x20 nTime=40 nIter=30 "
+                         "4 starts in one launch (Optimise.py:431,463)"),
+        "enopt_npv_gain": round(float(objs[best, -1] - objs[best, 0]), 4),
+        "enopt_npv_best": round(float(objs[best, -1]), 4),
+        "enopt_iters": [int(n) for n in info["nIter"]],
+        "enopt_improves": bool((objs[:, -1] > objs[:, 0]).any()),
     }
 
 
@@ -576,11 +582,23 @@ def _tpu_tests_fields():
         return {}
     with open(path) as f:
         t = json.load(f)
-    return {
+    out = {
         "tpu_tests_ok": t.get("ok"),
         "tpu_tests_passed": t.get("passed"),
         "tpu_tests_sha": t.get("sha"),
     }
+    # Same for the full CPU suite artifact (scripts/run_cpu_tests.py —
+    # round-3 ADVICE: the suite-green claim needs committed evidence too).
+    cpu_path = os.path.join(os.path.dirname(PARITY_REFS), "CPU_TESTS.json")
+    if os.path.exists(cpu_path):
+        with open(cpu_path) as f:
+            c = json.load(f)
+        out.update({
+            "cpu_tests_ok": c.get("ok"),
+            "cpu_tests_passed": c.get("passed"),
+            "cpu_tests_sha": c.get("sha"),
+        })
+    return out
 
 
 # Official per-MDA-pass solver-effort schedule (round-2 VERDICT item 3).

@@ -226,8 +226,8 @@ class SimResult(NamedTuple):
     valid: jax.Array  # bool: configuration valid (rates balanced, wells in domain)
     # — the exception-as-penalty analogue (reference raises on these).
     cg_ok: jax.Array  # bool: every pressure solve met its acceptance residual
-    # — solver *quality* diagnostic; does NOT gate the NPV penalty (the
-    # reference's direct solver never "fails", only configs do).
+    # — solver-quality flag; the NPV objective gates on it (opt/npv.py):
+    # unconverged fluxes are garbage and can spuriously inflate the value.
     cg_iters: jax.Array  # (nTime,) pressure-solve iteration counts
     substeps: jax.Array  # (nTime,) transport CFL substep counts
     # (nTime, Nxy) pressure trajectory when simulate(keep_pressures=True):
@@ -505,9 +505,16 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         # N=1000, 64x64, with posterior quality unchanged).
         tol = 1e-10 if dtype == jnp.float64 else 2e-3
     if tol_accept is None:
-        # float32 has an accuracy floor (~1e-2 relative residual at high
-        # permeability contrast); 'valid' means 'not garbage', so accept it.
-        tol_accept = 1e-6 if dtype == jnp.float64 else 2e-2
+        # float32 has an accuracy floor set by the permeability contrast.
+        # Measured over full 40-step runs (EnOpt 20x20 case, K contrast
+        # ~3e5): healthy solves stagnate at relative residual up to ~3.3e-2
+        # (3.5e-2 worst-case over a 64x64 prior sample), while genuinely
+        # garbage solves (injector confined at the domain corner: the f32
+        # pressure field cannot even represent the near-well differences,
+        # NPV off ~2x vs exact f64) stall at >= 1.3e-1. 'valid' means 'not
+        # garbage': 5e-2 sits between the two measured populations — a
+        # 2e-2 gate misclassifies most floor-level solves as failures.
+        tol_accept = 1e-6 if dtype == jnp.float64 else 5e-2
     if maxiter is None:
         maxiter = g.Nxy if dtype == jnp.float64 else 4 * max(g.Nx, g.Ny)
     if use_pallas is None:

@@ -213,6 +213,44 @@ def gd_scan(objective, u, *, chol=1.0, nEns=10, precond=False, nrmlz=True,
     return path, objs, info
 
 
+def gd_scan_multi(objective, U0, *, chol=1.0, nEns=10, precond=False,
+                  nrmlz=True, nIter=100, sign=+1, xSteps=None, rtol=1e-8,
+                  key=None):
+    """Batched multistart `gd_scan`: every start advances in ONE compiled
+    program (`vmap` over the whole optimisation scan) — the reference's
+    multi-start loop (Optimise.py:463-467 runs GD from 4 random initial
+    guesses, serially) as a single device launch. Starts are embarrassingly
+    parallel, so on TPU the batch costs about as much as the slowest start.
+
+    `U0` is (nStart, M); each start consumes an independent PRNG stream
+    split from `key`. Returns (paths (nStart, nIter+1, M), objs
+    (nStart, nIter+1), info) where `info["nIter"]` is per-start; rows past
+    a start's `nIter` are frozen at its converged state (same semantics as
+    `gd_scan`'s trimmed tail, kept rectangular here for the batch).
+    """
+    if xSteps is None:
+        xSteps = tuple(0.5 ** (i + 1) for i in range(8))
+    key = key if key is not None else jax.random.PRNGKey(0)
+    U0 = jnp.atleast_2d(jnp.asarray(U0, dtype=jnp.result_type(float)))
+    keys = jax.random.split(key, U0.shape[0])
+    chol_arr = jnp.asarray(U0.dtype.type(1) * jnp.asarray(chol))
+
+    def one(u0, k):
+        return _gd_scan_impl(objective, u0, k, chol_arr, int(nEns),
+                             bool(precond), bool(nrmlz), int(nIter),
+                             int(sign), tuple(xSteps), float(rtol))
+
+    paths, objs, dones = jax.vmap(one)(U0, keys)
+    dones = np.asarray(dones)  # (nStart, nIter)
+    n_eff = np.where(dones.any(axis=1), np.argmax(dones, axis=1), int(nIter))
+    info = dict(
+        cause=["GD converged" if d.any() else "GD ran out of iters" for d in dones],
+        nIter=n_eff,
+        nEvals=1 + (n_eff + 1) * (nEns + len(xSteps)),
+    )
+    return np.asarray(paths), np.asarray(objs), info
+
+
 def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=None,
        quiet=True, callback=None):
     """Gradient (steepest) descent/ascent driver (reference tools/enopt.py:75-107).

@@ -101,7 +101,16 @@ def npv(model: ResSim, cfg: NPVConfig = NPVConfig(), wsat0=None, **params):
     res = simulate(m, wsat0, cfg.dt, cfg.nTime)
     ledgr = accounting(cfg, m, res)
     value = sum(ledgr.values())
-    value = jnp.where(res.valid, value, 0.0)
+    # Penalty gates on BOTH flags: invalid configs (the reference raises,
+    # Optimise.py:118-125) AND non-converged pressure solves. The latter has
+    # no reference analogue (its direct solver cannot fail) but is load-
+    # bearing here: a garbage f32 solve's fluxes can INFLATE the NPV
+    # (measured, injector at the domain corner: spurious 74 vs 37.7 exact
+    # f64 — higher than the true optimum ~59) — an ascent direction the
+    # optimizer must never see. The acceptance threshold (simulate's
+    # tol_accept, f32 default 5e-2) sits between the measured f32
+    # stagnation floor of healthy solves (<= 3.3e-2) and garbage (>= 1.3e-1).
+    value = jnp.where(res.valid & res.cg_ok, value, 0.0)
     return value, dict(model=m, wsats=res.wsats, ledgr=ledgr, result=res)
 
 

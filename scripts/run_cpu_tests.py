@@ -1,13 +1,15 @@
 #!/usr/bin/env python
 """Run the full CPU suite (tests/) and record an auditable artifact
-(round-3 ADVICE: the 'full CPU suite re-run: N passed' claims in the round
-records had no committed evidence, unlike the TPU artifact).
+(round-3 ADVICE: the "full CPU suite re-run: N passed" claim had no
+committed evidence, unlike the on-chip parity/TPU_TESTS.json).
 
     python scripts/run_cpu_tests.py
 
-Writes parity/CPU_TESTS.json with the git sha, the exact pytest invocation,
-pass/fail counts, and duration. Same sha convention as TPU_TESTS.json: the
-artifact pins the tree it tested, i.e. the PARENT of the commit adding it.
+Writes parity/CPU_TESTS.json with the git sha, pass/fail counts, and
+duration — same conventions as run_tpu_tests.py: `ok` requires exit code 0,
+at least one PASS, and zero failures; the artifact itself is excluded from
+the dirty-sha check (it is necessarily uncommitted while being refreshed),
+and its sha pins the PARENT of the commit that adds it.
 """
 
 import json
@@ -19,12 +21,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "parity", "CPU_TESTS.json")
-CMD = [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"]
 
 
 def main():
     t0 = time.time()
-    proc = subprocess.run(CMD, cwd=REPO, capture_output=True, text=True)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"],
+        cwd=REPO, capture_output=True, text=True,
+    )
     dur = time.time() - t0
     tail = proc.stdout[-4000:]
     sys.stdout.write(tail)
@@ -44,7 +48,7 @@ def main():
         ok=bool(proc.returncode == 0 and passed > 0 and failed == 0),
         passed=passed, failed=failed, skipped=skipped,
         duration_s=round(dur, 1),
-        cmd=" ".join(["python"] + CMD[1:]),
+        invocation="python -m pytest tests/ -q (8 virtual CPU devices, f64 — conftest.py)",
         sha=sha + ("-dirty" if dirty else ""),
         sha_convention="parent-of-committing-commit",
         timestamp=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -207,6 +207,34 @@ def test_gd_scan_matches_host_gd(key):
     assert np.allclose(path_d[:n], path_h[:n], atol=1e-6)
 
 
+def test_gd_scan_multi_matches_per_start(key):
+    """Batched multistart GD (one vmapped program) must reproduce each
+    start's solo `gd_scan` run bit-for-bit: the per-start PRNG streams are
+    the same `jax.random.split(key, nStart)` either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from historymatching_tpu.opt.enopt import gd_scan, gd_scan_multi
+
+    def quad(u):
+        return -jnp.sum((u - 0.3) ** 2)
+
+    U0 = jnp.array([[0.9, -0.5], [-1.2, 0.8], [0.0, 2.0]])
+    paths, objs, info = gd_scan_multi(quad, U0, chol=0.1, nIter=30, key=key)
+    assert paths.shape == (3, 31, 2) and objs.shape == (3, 31)
+    keys = jax.random.split(key, 3)
+    for i in range(3):
+        p_i, o_i, inf_i = gd_scan(quad, U0[i], chol=0.1, nIter=30, key=keys[i])
+        assert int(info["nIter"][i]) == inf_i["nIter"]
+        n = inf_i["nIter"] + 1
+        assert np.allclose(paths[i, :n], p_i, atol=0), (i, paths[i, :n], p_i)
+        # frozen tail: rows past convergence repeat the converged state
+        assert np.allclose(paths[i, n - 1 :], p_i[-1], atol=0)
+        assert np.allclose(objs[i, :n], o_i, atol=0)
+    # every start converges to the optimum
+    assert np.allclose(paths[:, -1], 0.3, atol=0.05)
+
+
 def test_gd_scan_precond_and_budget(key):
     import jax.numpy as jnp
 

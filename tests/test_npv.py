@@ -57,6 +57,29 @@ def test_npv_runs_and_penalizes():
     assert float(v_out) == 0.0
 
 
+def test_npv_gates_on_cg_ok(monkeypatch):
+    """A non-converged pressure solve (cg_ok=False) must map the NPV to 0:
+    unconverged fluxes are garbage and, measured on TPU, can spuriously
+    INFLATE the value — an ascent direction EnOpt must never see (the
+    reference's direct solver cannot fail, so this gate has no reference
+    analogue)."""
+    import sys
+
+    # `opt.__init__` re-exports the npv FUNCTION, shadowing the submodule
+    # attribute — fetch the module object itself.
+    npv_mod = sys.modules["historymatching_tpu.opt.npv"]
+
+    m = default_model(Nx=10, Ny=10)
+    cfg = NPVConfig(dt=0.025, nTime=5)
+    real_simulate = npv_mod.simulate
+
+    def failing_simulate(*a, **kw):
+        return real_simulate(*a, **kw)._replace(cg_ok=jnp.array(False))
+
+    monkeypatch.setattr(npv_mod, "simulate", failing_simulate)
+    assert float(npv_value(m, cfg)) == 0.0
+
+
 def test_npv_moving_injector_changes_value():
     m = default_model(Nx=10, Ny=10)
     cfg = NPVConfig(dt=0.025, nTime=8)
