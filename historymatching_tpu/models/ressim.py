@@ -464,14 +464,14 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
     static_argnames=(
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
         "patience_iters", "scale_system", "packed", "two_pass", "twopass_j1",
-        "twopass_div", "refine", "keep_pressures", "freeze_coarse",
+        "twopass_div", "refine", "keep_pressures", "freeze_coarse", "coarse_warm",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
              max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96,
              scale_system=True, packed=True, two_pass=True, twopass_j1=64,
              twopass_div=4, refine=True, p_init=None, keep_pressures=False,
-             freeze_coarse=False):
+             freeze_coarse=False, coarse_warm=False):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -486,6 +486,13 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
     the configuration it reports: env-var reads at trace time (the round-2
     scheme) are silently ignored by the jit cache on same-shape re-calls.
     They only affect the TPU (`use_pallas`) path.
+
+    `coarse_warm`: thread the coarsest-level Newton-Schulz inverse through
+    the time scan as the next step's initial guess — every step's
+    preconditioner is refreshed from the current mobility (no staleness,
+    unlike `freeze_coarse`), but converges in 1-3 GEMM pairs instead of the
+    cold ramp. Preconditioner-only: iterates change at rounding level, the
+    acceptance criterion does not.
 
     `p_init` (optional, (nTime, Nxy)): per-time-step pressure warm starts —
     e.g. the `pressures` output of a previous simulation of a NEARBY model
@@ -558,6 +565,18 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
             raise ValueError(
                 f"freeze_coarse={freeze_coarse!r} must divide nTime={nTime}")
 
+    # Warm-started (never stale) coarse inverse: unlike freeze_coarse, every
+    # step's inverse is refreshed from the CURRENT mobility — only the
+    # Newton-Schulz path there is shortened, by threading the previous
+    # step's inverse through the scan carry as the initial guess (the
+    # operator drifts slowly step-to-step, so 1-3 refresh GEMM pairs replace
+    # the cold ~log2(cond) ramp; ops/linalg.spd_inverse converges to the
+    # same residual floor either way).
+    warm_on = (coarse_warm and precond == "mg" and scale_system
+               and n_levels(g.Nx, g.Ny) >= 2)
+    if warm_on and freeze_k:
+        raise ValueError("coarse_warm and freeze_coarse are mutually exclusive")
+
     def make_coarse_Ainv(s):
         from historymatching_tpu.ops.multigrid import coarse_inverse
 
@@ -613,6 +632,37 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
         (_, _), outs = lax.scan(chunk, (s0, p0), xs_c)
         sats, press, iters, convs, subs = jax.tree_util.tree_map(
             lambda x: x.reshape(nTime, *x.shape[2:]), outs)
+    elif warm_on:
+        from historymatching_tpu.ops.multigrid import coarse_inverse
+
+        def coarse_full(s, x0=None):
+            hier = _scaled_solver_hierarchy(model, s)
+            return coarse_inverse(hier, x0=x0), hier[-1][2].shape
+
+        Ainv0, (Nc, Mc) = coarse_full(s0)
+
+        def step_warm(carry, xs_t):
+            s, p_prev, Ainv_prev = carry
+            inj_t, prd_t, p_ws = xs_t
+            q = _source_field(model, inj_t, prd_t).astype(dtype)
+            p0_t = p_prev if p_ws is None else p_ws
+            # Step-t inverse, warm-started from step t-1's (fresh operator;
+            # the fine hierarchy built here is identical to pressure_step's
+            # internal one, so XLA CSE folds the duplicate construction).
+            Ainv, _ = coarse_full(s, x0=Ainv_prev)
+            cAinv = Ainv.reshape(-1, Nc, Mc) if use_pallas else Ainv
+            p, Fx, Fy, iters, conv = pressure_step(
+                model, s, q, p0_t, tol, maxiter, tol_accept, precond,
+                use_pallas, patience_iters, scale_system, packed, two_pass,
+                twopass_j1, twopass_div, refine, cAinv,
+            )
+            s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt,
+                                          max_substeps, use_pallas, packed)
+            return (s_new, p, Ainv), (s_new.reshape(-1), p.reshape(-1), iters,
+                                      conv, n_sub)
+
+        (_, _, _), (sats, press, iters, convs, subs) = lax.scan(
+            step_warm, (s0, p0, Ainv0), xs)
     else:
         (_, _), (sats, press, iters, convs, subs) = lax.scan(
             step_with(None), (s0, p0), xs)

@@ -51,16 +51,31 @@ def _sym(A):
 
 
 @_full_precision
-def spd_inverse(A, iters=50, jitter=0.0):
+def spd_inverse(A, iters=50, jitter=0.0, x0=None):
     """Inverse of an SPD matrix by diagonally-scaled Newton-Schulz.
 
     Guarded: at float32 with cond(A_scaled) ~> 1/sqrt(eps) the quadratic
     iteration first converges to its rounding floor and then DIVERGES to NaN
     (measured on 16x16 TPFA coarse operators at permeability contrast 4e5:
     residual 0.25 at iteration 10, inf by 25). The loop tracks
-    ||A_s X - I||_max, keeps the best iterate, and exits once the residual
-    grows — so extreme inputs yield the best f32-achievable (approximate)
-    inverse instead of NaN. One extra GEMM per iteration."""
+    ||A_s X - I||_max and keeps the best iterate, and exits on residual
+    GROWTH (divergence), STAGNATION (3 windows without improvement — once
+    the quadratic phase bottoms out at the rounding floor, further GEMMs
+    change nothing; the cold start's pre-asymptotic phase improves strictly
+    every step, so patience 3 never cuts it short), or FLOOR (residual at
+    ~machine precision). So extreme inputs yield the best f32-achievable
+    (approximate) inverse instead of NaN, and easy inputs stop early.
+
+    `x0` (optional): an approximation of A^{-1} to warm-start from — e.g.
+    the previous time step's inverse of a slowly-drifting operator
+    (`simulate(coarse_warm=True)`): NS converges quadratically from any
+    X0 with ||I - A X0|| < 1, so a close x0 needs 1-3 refresh iterations
+    instead of the cold ~log2(cond) ramp. Accepted only when its measured
+    residual is < 0.5 (else the cold start is used — a bad guess must not
+    poison the guard's best-iterate tracking).
+
+    The per-iteration residual reuses the iteration's own A @ X product
+    (carried across the loop), so each step costs 2 GEMMs, not 3."""
     A = jnp.asarray(A)
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
@@ -72,28 +87,42 @@ def spd_inverse(A, iters=50, jitter=0.0):
     # lambda_max upper bound (Gershgorin): max row sum of |As|
     lam = jnp.max(jnp.sum(jnp.abs(As), axis=1))
     X = eye / lam
+    if x0 is not None:
+        # x0 approximates the FULL-space inverse; the iteration runs in the
+        # scaled space (A_full^{-1} = S X S with S = diag(s)), so undo.
+        si = 1.0 / s
+        Xw = _sym(jnp.asarray(x0) * si[:, None] * si[None, :])
+        rw = jnp.max(jnp.abs(As @ Xw - eye))
+        X = jnp.where(rw < 0.5, Xw, X)
 
-    def resid(X):
-        return jnp.max(jnp.abs(As @ X - eye))
+    def resid_of(AX):
+        return jnp.max(jnp.abs(AX - eye))
 
-    # state: X, best_X, best_res, cur_res, k
-    state = (X, X, resid(X), resid(X), 0)
+    AX = As @ X
+    r0 = resid_of(AX)
+    floor = 32 * jnp.finfo(A.dtype).eps
+    # n_flat inherits the data's varying-manual-axes type (shard_map): a
+    # replicated 0 would not match the loop body's operator-derived output.
+    n_flat0 = (r0 * 0).astype(jnp.int32)
+    # state: X, AX, best_X, best_res, cur_res, n_flat, k
+    state = (X, AX, X, r0, r0, n_flat0, 0)
 
     def cond(st):
-        _, _, best, cur, k = st
-        return (k < iters) & (cur <= 4.0 * best)
+        _, _, _, best, cur, n_flat, k = st
+        return (k < iters) & (cur <= 4.0 * best) & (n_flat < 3) & (best > floor)
 
     def body(st):
-        X, bX, best, _, k = st
-        AX = As @ X
+        X, AX, bX, best, _, n_flat, k = st
         X = _sym(X @ (2.0 * eye - AX))
-        r = resid(X)
+        AX = As @ X
+        r = resid_of(AX)
         better = r < best
         bX = jnp.where(better, X, bX)
         best = jnp.where(better, r, best)
-        return (X, bX, best, r, k + 1)
+        n_flat = jnp.where(better, 0, n_flat + 1)
+        return (X, AX, bX, best, r, n_flat, k + 1)
 
-    _, X, _, _, _ = lax.while_loop(cond, body, state)
+    _, _, X, _, _, _, _ = lax.while_loop(cond, body, state)
     return X * s[:, None] * s[None, :]
 
 

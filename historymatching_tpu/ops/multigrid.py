@@ -163,11 +163,14 @@ def _dense_coarse_matrix(TX, TY, diag):
     return cols.T  # symmetric anyway
 
 
-def coarse_inverse(hierarchy):
+def coarse_inverse(hierarchy, x0=None):
     """Inverse of the coarsest operator via guarded Newton-Schulz
     (custom-call-free; spd_inverse diagonally scales internally, which the
     high-contrast coarse matrix needs). Precomputed once per pressure solve;
-    applied as one small GEMV per V-cycle.
+    applied as one small GEMV per V-cycle. `x0`: optional warm start — a
+    nearby operator's inverse, e.g. the previous time step's
+    (`simulate(coarse_warm=True)`): same floor-converged result, far fewer
+    Newton-Schulz GEMMs.
 
     The f32 jitter must *bound the scaled condition number* so the Newton-
     Schulz iteration stays convergent at f32: extreme members reach scaled
@@ -178,7 +181,7 @@ def coarse_inverse(hierarchy):
     preconditioner component."""
     Acoarse = _dense_coarse_matrix(*hierarchy[-1])
     eps = 1e-4 if Acoarse.dtype == jnp.float32 else 1e-12
-    return spd_inverse(Acoarse, jitter=eps)
+    return spd_inverse(Acoarse, jitter=eps, x0=x0)
 
 
 def _coarse_apply_unrolled(Ainv3, b):

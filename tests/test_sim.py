@@ -151,6 +151,33 @@ def test_restart_equivalence():
     assert np.allclose(np.asarray(second.wsats[-1]), np.asarray(full.wsats[-1]), atol=1e-7)
 
 
+def test_coarse_warm_equivalence(key):
+    """`coarse_warm` (Newton-Schulz coarse inverse warm-started from the
+    previous time step through the scan carry) is preconditioner-only: with
+    converged f64 solves the trajectory must match the cold-start default
+    to rounding, with cg_ok intact, at unchanged iteration budgets. Also
+    under vmap (the batched while runs until all members' NS exits)."""
+    m = default_model(Nx=16, Ny=16)
+    K = jnp.exp(2.0 * jax.random.normal(key, (2, m.Nxy)))
+    m = m.replace(K=jnp.stack([K[0].reshape(m.shape)] * 2))
+    cold = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6)
+    warm = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6, coarse_warm=True)
+    assert bool(cold.cg_ok) and bool(warm.cg_ok)
+    assert np.allclose(np.asarray(warm.wsats), np.asarray(cold.wsats), atol=1e-9)
+
+    Ks = jnp.stack([jnp.stack([k.reshape(m.shape)] * 2) for k in jnp.exp(0.5 * K)])
+    sim_v = jax.vmap(lambda Km: simulate(
+        m.replace(K=Km), jnp.zeros(m.Nxy), dt=0.025, nTime=4, coarse_warm=True))
+    sim_c = jax.vmap(lambda Km: simulate(
+        m.replace(K=Km), jnp.zeros(m.Nxy), dt=0.025, nTime=4))
+    rw, rc = sim_v(Ks), sim_c(Ks)
+    assert np.allclose(np.asarray(rw.wsats), np.asarray(rc.wsats), atol=1e-9)
+
+    with pytest.raises(ValueError):
+        simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6,
+                 coarse_warm=True, freeze_coarse=True)
+
+
 def test_time_varying_rates():
     m = default_model(Nx=8, Ny=8)
     nTime = 6
