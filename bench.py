@@ -669,6 +669,13 @@ def bench_sim_kwargs():
         # SAME field) beats the previous PASS's same-step pressure of a
         # different field. Kept as a capability; flips must re-pin parity.
         warm_start=os.environ.get("BENCH_WARM", "0") == "1",
+        # Coarse Newton-Schulz inverse warm-started across time steps via
+        # the scan carry (simulate docstring) — fresh operator every step
+        # (unlike the rejected freeze_coarse), just a shorter NS path there.
+        # Measured: 5.75 s -> 5.41 s at the flagship shape; f64 trajectory
+        # bit-equivalent (tests/test_sim.py::test_coarse_warm_equivalence);
+        # parity re-pinned at this default (parity/PARITY_TPU*.json).
+        coarse_warm=os.environ.get("HM_COARSE_WARM", "1") == "1",
     )
     # Per-MDA-pass solver-effort schedule (see make_workload's `sched`);
     # BENCH_SCHED: "off" disables, a JSON list of per-pass override dicts

@@ -45,7 +45,7 @@ error the posterior carries at N=192 is identical on both sides because the
 draws are paired.
 
 Env: PARITY_N (default 192 — must match the committed refs), PARITY_SEEDS
-(comma list, default 1,2,3,4,5), PARITY_SIM_KW (json dict of simulate kwargs
+(comma list, default 1-10), PARITY_SIM_KW (json dict of simulate kwargs
 for the f32 side, default bench settings), PARITY_REF_SIM_KW (simulate
 kwargs for the xcheck's f64 PCG side; the exact-solve ref has no knobs).
 """
@@ -58,7 +58,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 OUT_DIR = os.path.join(REPO, "parity")
 
-SEEDS = [int(s) for s in os.environ.get("PARITY_SEEDS", "1,2,3,4,5").split(",")]
+SEEDS = [int(s) for s in os.environ.get(
+    "PARITY_SEEDS", "1,2,3,4,5,6,7,8,9,10").split(",")]
 N = int(os.environ.get("PARITY_N", "192"))
 THRESHOLD = 1.05
 
