@@ -235,6 +235,13 @@ class SimResult(NamedTuple):
     # the next ES-MDA pass's ensemble) to warm-start every solve from the
     # same-time-step pressure of the previous pass. () otherwise.
     pressures: jax.Array | tuple = ()
+    # (nTime, nPrd) producer-cell saturations, emitted per step inside the
+    # scan — the observation series without materializing the (nTime, Nxy)
+    # trajectory. With simulate(keep_wsats=False), `wsats` carries only
+    # [initial, final] (2, Nxy) and this is the only time-resolved output:
+    # at ensemble scale the full history is pure HBM traffic (~2.6 GB of
+    # stacked writes per ES-MDA workload) consumed only at 4 cells/step.
+    prd_sats: jax.Array | tuple = ()
 
 
 # -- physics helpers -----------------------------------------------------------
@@ -465,13 +472,14 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
         "patience_iters", "scale_system", "packed", "two_pass", "twopass_j1",
         "twopass_div", "refine", "keep_pressures", "freeze_coarse", "coarse_warm",
+        "keep_wsats",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
              max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96,
              scale_system=True, packed=True, two_pass=True, twopass_j1=64,
              twopass_div=4, refine=True, p_init=None, keep_pressures=False,
-             freeze_coarse=False, coarse_warm=False):
+             freeze_coarse=False, coarse_warm=False, keep_wsats=True):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -486,6 +494,13 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
     the configuration it reports: env-var reads at trace time (the round-2
     scheme) are silently ignored by the jit cache on same-shape re-calls.
     They only affect the TPU (`use_pallas`) path.
+
+    `keep_wsats` (static, default True): with False, `wsats` carries only
+    [initial, final] (2, Nxy) — restartable, but the (nTime, Nxy) history is
+    never stacked by the scan. The time-resolved producer-cell observation
+    series is always available as `SimResult.prd_sats` (nTime, nPrd),
+    emitted per step at 4-float cost. At ensemble scale the history stack
+    is the forward pass's dominant HBM write traffic.
 
     `coarse_warm`: thread the coarsest-level Newton-Schulz inverse through
     the time scan as the next step's initial guess — every step's
@@ -587,6 +602,23 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
             return Ainv.reshape(-1, Nc, Mc)
         return Ainv
 
+    # Producer-cell observation indices (traced-coordinate safe: EnOpt may
+    # differentiate/optimize well positions through xy2ind).
+    prd_idx = g.xy2ind(model.prd_xy[:, 0], model.prd_xy[:, 1])
+
+    def _ys(s_new, p, iters, conv, n_sub):
+        """Per-step scan outputs. The big (Nxy,) stacks are emitted only
+        when requested — at ensemble scale the full saturation/pressure
+        trajectories are the dominant HBM write traffic of the forward
+        pass, while the observation series is 4 floats/step."""
+        ys = dict(sobs=s_new.reshape(-1)[prd_idx], iters=iters, conv=conv,
+                  subs=n_sub)
+        if keep_wsats:
+            ys["sats"] = s_new.reshape(-1)
+        if keep_pressures:
+            ys["press"] = p.reshape(-1)
+        return ys
+
     def step_with(coarse_Ainv):
         def step(carry, xs_t):
             s, p_prev = carry
@@ -609,8 +641,7 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
             )
             s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt,
                                           max_substeps, use_pallas, packed)
-            return (s_new, p), (s_new.reshape(-1), p.reshape(-1), iters,
-                                conv, n_sub)
+            return (s_new, p), _ys(s_new, p, iters, conv, n_sub)
         return step
 
     p0 = jnp.zeros(g.shape, dtype=dtype) + s0 * 0  # same vma as s0
@@ -629,8 +660,8 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
             s, _ = carry
             return lax.scan(step_with(make_coarse_Ainv(s)), carry, xs_chunk)
 
-        (_, _), outs = lax.scan(chunk, (s0, p0), xs_c)
-        sats, press, iters, convs, subs = jax.tree_util.tree_map(
+        (s_fin, _), outs = lax.scan(chunk, (s0, p0), xs_c)
+        outs = jax.tree_util.tree_map(
             lambda x: x.reshape(nTime, *x.shape[2:]), outs)
     elif warm_on:
         from historymatching_tpu.ops.multigrid import coarse_inverse
@@ -658,25 +689,26 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
             )
             s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt,
                                           max_substeps, use_pallas, packed)
-            return (s_new, p, Ainv), (s_new.reshape(-1), p.reshape(-1), iters,
-                                      conv, n_sub)
+            return (s_new, p, Ainv), _ys(s_new, p, iters, conv, n_sub)
 
-        (_, _, _), (sats, press, iters, convs, subs) = lax.scan(
-            step_warm, (s0, p0, Ainv0), xs)
+        (s_fin, _, _), outs = lax.scan(step_warm, (s0, p0, Ainv0), xs)
     else:
-        (_, _), (sats, press, iters, convs, subs) = lax.scan(
-            step_with(None), (s0, p0), xs)
+        (s_fin, _), outs = lax.scan(step_with(None), (s0, p0), xs)
 
-    wsats = jnp.concatenate([s0.reshape(1, -1), sats], axis=0)
+    if keep_wsats:
+        wsats = jnp.concatenate([s0.reshape(1, -1), outs["sats"]], axis=0)
+    else:
+        # Restartable final state only — the time-resolved observation
+        # series lives in prd_sats; the scan never stacks the trajectory.
+        wsats = jnp.stack([s0.reshape(-1), s_fin.reshape(-1)])
     return SimResult(
         wsats=wsats,
         actual_inj_rates=inj_seq.T,
         actual_prd_rates=prd_seq.T,
         valid=balanced & wells_ok,
-        cg_ok=jnp.all(convs),
-        cg_iters=iters,
-        substeps=subs,
-        # dropped (and XLA-DCE'd) unless requested — (nTime, Nxy) is a large
-        # buffer at ensemble scale
-        pressures=press if keep_pressures else (),
+        cg_ok=jnp.all(outs["conv"]),
+        cg_iters=outs["iters"],
+        substeps=outs["subs"],
+        pressures=outs["press"] if keep_pressures else (),
+        prd_sats=outs["sobs"],
     )

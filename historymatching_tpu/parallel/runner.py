@@ -62,13 +62,16 @@ def _comp1(model, pre_perm, wsat0, dt, nTime, transf, sim_kwargs, keep_wsats,
     HistoryMatch.py:358-364): set params -> simulate -> observe.
 
     With keep_wsats=False only the production series (and the final state,
-    for restarts) is materialized — the full (nTime+1, Nxy) history is a
-    large HBM buffer at N=1000 (reference notes the same: state emitted
-    'only ... for future prediction', HistoryMatch.py:370-374)."""
+    for restarts) is materialized — and not merely dropped after the fact:
+    `simulate(keep_wsats=False)` never stacks the (nTime, Nxy) history in
+    its scan at all; the observation series comes from `SimResult.prd_sats`
+    (4 floats/step emitted in-scan). The full history is a large HBM
+    buffer at N=1000 (reference notes the same: state emitted 'only ...
+    for future prediction', HistoryMatch.py:370-374)."""
     m = set_perm(model, pre_perm, transf)
-    res = simulate(m, wsat0, dt, nTime, p_init=p_init,
+    res = simulate(m, wsat0, dt, nTime, p_init=p_init, keep_wsats=keep_wsats,
                    keep_pressures=keep_pressures, **sim_kwargs)
-    prods = res.wsats[1:, :][:, prod_inds(m)]  # (nTime, nPrd)
+    prods = res.prd_sats  # (nTime, nPrd) == wsats[1:][:, prod_inds(m)]
     wsats = res.wsats if keep_wsats else res.wsats[-1:]  # else: restartable final state
     if keep_pressures:
         return wsats, prods, res.pressures

@@ -151,6 +151,28 @@ def test_restart_equivalence():
     assert np.allclose(np.asarray(second.wsats[-1]), np.asarray(full.wsats[-1]), atol=1e-7)
 
 
+def test_keep_wsats_false_and_prd_sats():
+    """prd_sats (emitted in-scan, 4 floats/step) must equal the gather from
+    the stacked trajectory, and keep_wsats=False must still be restartable
+    (wsats = [initial, final]) with identical physics."""
+    from historymatching_tpu.parallel.runner import prod_inds
+
+    m = default_model(Nx=10, Ny=10)
+    full = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6)
+    slim = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6, keep_wsats=False)
+    inds = np.asarray(prod_inds(m))
+    assert np.array_equal(np.asarray(full.prd_sats),
+                          np.asarray(full.wsats)[1:][:, inds])
+    assert np.array_equal(np.asarray(slim.prd_sats), np.asarray(full.prd_sats))
+    assert slim.wsats.shape == (2, m.Nxy)
+    assert np.array_equal(np.asarray(slim.wsats[-1]), np.asarray(full.wsats[-1]))
+    # restart from the slim final state == the full run continued
+    cont = simulate(m, slim.wsats[-1], dt=0.025, nTime=3)
+    full9 = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=9)
+    assert np.allclose(np.asarray(cont.wsats[-1]), np.asarray(full9.wsats[-1]),
+                       atol=1e-7)
+
+
 def test_coarse_warm_equivalence(key):
     """`coarse_warm` (Newton-Schulz coarse inverse warm-started from the
     previous time step through the scan carry) is preconditioner-only: with
