@@ -92,7 +92,7 @@ def build_case(seed, N, Nx=64, Ny=64, nTime=40):
     R12 = jnp.asarray(R12, f32)
     noise = (R12 @ jax.random.normal(k_noise, (nTime * nPrd,), dtype=f32))
     return dict(model=model, truth=truth, prior=prior, noise=noise, R12=R12,
-                key_mda=k_mda, nTime=nTime)
+                key_mda=k_mda, nTime=nTime, seed=seed, N=N, Nx=Nx, Ny=Ny)
 
 
 def make_workload(case, dtype, mda_steps=MDA_STEPS, loc=False, mesh=None,
@@ -405,15 +405,9 @@ def _roofline_fields(case, elapsed, n_ens, mda_steps, sched=None, **sim_kwargs):
     }
 
 
-def _ies_fields(case, sim_only_kw):
-    """Flagship-IES wall-clock + quality (round-3 VERDICT item 3): the
-    reference's own headline method is IES at xStep=0.4, iMax=10
-    (/root/reference/notebooks/HistoryMatch.py:961). Run it at the bench
-    shape — the global N x N weight state is 4 MB at N=1000, trivially
-    affordable (the domain-batched ILES handles the localized variant; its
-    on-chip test is tests_tpu/test_pallas_tpu.py) — every forward at the
-    FULL-accuracy solver settings (IES has no MDA-style loose-pass
-    structure; each iteration's innovations feed the Gauss-Newton step)."""
+def _ies_one(case, sim_only_kw, iMax=10):
+    """One IES run (xStep=0.4) at the bench shape; returns (post, prior_rmse,
+    post_rmse)."""
     from historymatching_tpu.da.update import decorrelator, ies
     from historymatching_tpu.parallel.runner import forward_model
     from historymatching_tpu.utils import gaussian_noise
@@ -434,20 +428,50 @@ def _ies_fields(case, sim_only_kw):
 
     perturbs = gaussian_noise(case["key_mda"], N, obs.shape[0], L=R12)
     dec = decorrelator(R12)
+    post, _ = ies(prior, fwd, obs, perturbs, dec, xStep=0.4, iMax=iMax)
+    jax.block_until_ready(post)
+    return (post, rmse_vs_truth(prior, case["truth"]),
+            rmse_vs_truth(post, case["truth"]))
+
+
+def _ies_fields(case, sim_only_kw):
+    """Flagship-IES wall-clock + quality (round-3 VERDICT item 3): the
+    reference's own headline method is IES at xStep=0.4, iMax=10
+    (/root/reference/notebooks/HistoryMatch.py:961). Run it at the bench
+    shape — the global N x N weight state is 4 MB at N=1000, trivially
+    affordable (the domain-batched ILES handles the localized variant; its
+    on-chip test is tests_tpu/test_pallas_tpu.py) — every forward at the
+    FULL-accuracy solver settings (IES has no MDA-style loose-pass
+    structure; each iteration's innovations feed the Gauss-Newton step).
+
+    Quality is multi-seed like the ES-MDA headline (the default seed is the
+    one realization whose posterior worsens even in exact f64 —
+    parity/cpu_f64_refs.json seed 1): `ies_improves_frac` runs the same
+    seed set; the compiled forward is shape-shared so extra seeds cost
+    runtime only (~ies_value each). BENCH_IES_SEEDS=1 limits to the timed
+    default seed."""
     # Warm-up (compiles the forward + the jitted GN inner step).
-    post, _ = ies(prior, fwd, obs, perturbs, dec, xStep=0.4, iMax=1)
-    jax.block_until_ready(post)
+    _ies_one(case, sim_only_kw, iMax=1)
     t0 = time.perf_counter()
-    post, _ = ies(prior, fwd, obs, perturbs, dec, xStep=0.4, iMax=10)
-    jax.block_until_ready(post)
+    _, e_prior, e_post = _ies_one(case, sim_only_kw)
     elapsed = time.perf_counter() - t0
-    e_post = rmse_vs_truth(post, case["truth"])
-    e_prior = rmse_vs_truth(prior, case["truth"])
+    rmse_seeds = {str(case["seed"]): [round(e_prior, 4), round(e_post, 4)]}
+    n_seeds = int(os.environ.get("BENCH_IES_SEEDS", "5"))
+    for s in (1, 2, 3, 4, 5)[:n_seeds]:
+        if s == case["seed"]:
+            continue
+        case_s = build_case(s, *(case[k] for k in
+                                 ("N", "Nx", "Ny", "nTime")))
+        _, ep, eo = _ies_one(case_s, sim_only_kw)
+        rmse_seeds[str(s)] = [round(ep, 4), round(eo, 4)]
+    n_imp = sum(post < prior for prior, post in rmse_seeds.values())
     return {
         "ies_value": round(elapsed, 3),
         "ies_config": "xStep=0.4 iMax=10 (reference HistoryMatch.py:961)",
         "ies_rmse_post": round(e_post, 4),
         "ies_posterior_improves": bool(e_post < e_prior),
+        "ies_rmse_seeds": rmse_seeds,
+        "ies_improves_frac": f"{n_imp}/{len(rmse_seeds)}",
     }
 
 
