@@ -303,7 +303,7 @@ def _scaled_solver_hierarchy(model: ResSim, s):
 def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precond="mg",
                   use_pallas=False, patience_iters=96, scale_system=True,
                   packed=True, two_pass=True, twopass_j1=64, twopass_div=4,
-                  refine=True, coarse_Ainv=None):
+                  refine=True, coarse_Ainv=None, smoother="jacobi"):
     """TPFA pressure solve for saturation field `s` (Nx, Ny) and source `q`.
     Returns (p, Fx, Fy, iters, accepted). `accepted` compares the achieved
     true relative residual against `tol_accept` (defaults to `tol`) — float32
@@ -379,12 +379,13 @@ def pressure_step(model: ResSim, s, q, p0, tol, maxiter, tol_accept=None, precon
                 hier_flat, Ainv3, q_solve, p0_solve, w, tol=tol, maxiter=maxiter,
                 patience_iters=patience_iters, packed=packed, two_pass=two_pass,
                 twopass_j1=twopass_j1, twopass_div=twopass_div, refine=refine,
+                smoother=smoother,
             )
             p = unscale(y)
             Fx, Fy = face_fluxes(TXo, TYo, p)
             accepted = rel_res <= (tol if tol_accept is None else tol_accept)
             return p, Fx, Fy, iters, accepted
-        Minv = vcycle_solver(hierarchy, Ainv=coarse_Ainv)
+        Minv = vcycle_solver(hierarchy, Ainv=coarse_Ainv, smoother=smoother)
         restart_every = 8
     else:
         Minv = 1.0 / diag_solve
@@ -472,14 +473,15 @@ def transport_step(model: ResSim, s, Fx, Fy, q, dt, max_substeps=4096, use_palla
         "dt", "nTime", "tol", "tol_accept", "maxiter", "max_substeps", "precond", "use_pallas",
         "patience_iters", "scale_system", "packed", "two_pass", "twopass_j1",
         "twopass_div", "refine", "keep_pressures", "freeze_coarse", "coarse_warm",
-        "keep_wsats",
+        "keep_wsats", "smoother",
     ),
 )
 def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxiter=None,
              max_substeps=4096, precond="mg", use_pallas=None, patience_iters=96,
              scale_system=True, packed=True, two_pass=True, twopass_j1=64,
              twopass_div=4, refine=True, p_init=None, keep_pressures=False,
-             freeze_coarse=False, coarse_warm=False, keep_wsats=True):
+             freeze_coarse=False, coarse_warm=False, keep_wsats=True,
+             smoother="jacobi"):
     """Run `nTime` steps of size `dt` from saturation `wsat0` (Nxy,).
 
     Restartable from any state (reference HistoryMatch.py:366-374): pass the
@@ -501,6 +503,12 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
     series is always available as `SimResult.prd_sats` (nTime, nPrd),
     emitted per step at 4-float cost. At ensemble scale the history stack
     is the forward pass's dominant HBM write traffic.
+
+    `smoother` (static, "jacobi"|"cheb"): the V-cycle smoother — damped
+    Jacobi (omega=0.7) or degree-nu Chebyshev on the diagonally
+    preconditioned operator (ops/multigrid._cheb; same cost per sweep,
+    optimal polynomial damping). Preconditioner-only: any iterate meeting
+    `tol` is equally valid; flips of the default must re-pin parity.
 
     `coarse_warm`: thread the coarsest-level Newton-Schulz inverse through
     the time scan as the next step's initial guess — every step's
@@ -637,7 +645,7 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
             p, Fx, Fy, iters, conv = pressure_step(
                 model, s, q, p0_t, tol, maxiter, tol_accept, precond,
                 use_pallas, patience_iters, scale_system, packed, two_pass,
-                twopass_j1, twopass_div, refine, coarse_Ainv,
+                twopass_j1, twopass_div, refine, coarse_Ainv, smoother,
             )
             s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt,
                                           max_substeps, use_pallas, packed)
@@ -685,7 +693,7 @@ def simulate(model: ResSim, wsat0, dt, nTime, *, tol=None, tol_accept=None, maxi
             p, Fx, Fy, iters, conv = pressure_step(
                 model, s, q, p0_t, tol, maxiter, tol_accept, precond,
                 use_pallas, patience_iters, scale_system, packed, two_pass,
-                twopass_j1, twopass_div, refine, cAinv,
+                twopass_j1, twopass_div, refine, cAinv, smoother,
             )
             s_new, n_sub = transport_step(model, s, Fx, Fy, q, dt,
                                           max_substeps, use_pallas, packed)

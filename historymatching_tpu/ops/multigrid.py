@@ -155,6 +155,51 @@ def _jacobi(TX, TY, diag, x, b, sweeps, omega=0.7):
     return x
 
 
+# Chebyshev smoothing interval, as fractions of the Gershgorin bound
+# lam_max(D^-1 A) <= 2 (every level is a diagonally dominant 5-point
+# operator: diag = row sums + pin, Galerkin-inherited). The lower edge
+# targets the SMOOTHING range [lmax/4, lmax] — the V-cycle's coarse-grid
+# correction owns the low modes. Probed on the flagship workload:
+# (0.5, 2.0) and (0.25, 2.0) are equal-speed; tighter lower edges degrade.
+CHEB_BOUNDS = (0.5, 2.0)
+
+
+def _cheb(mv, diag, x, b, sweeps, bounds=CHEB_BOUNDS):
+    """`sweeps`-degree Chebyshev(1st kind) polynomial smoother on D^-1 A.
+
+    Same cost per sweep as damped Jacobi (one matvec + one D^-1 apply) but
+    with the optimal polynomial damping over [lmin, lmax] instead of a fixed
+    single-sweep factor — a standard multigrid smoother upgrade (hypre/PyAMG
+    convention; coefficients from the standard three-term recurrence). All
+    recurrence coefficients are Python floats (static), so the smoother is a
+    fixed linear polynomial in D^-1 A: applying the SAME polynomial pre- and
+    post-sweep keeps the V-cycle a fixed SPD operator, exactly like Jacobi
+    (any stationary polynomial smoother is PCG-admissible).
+    """
+    lmin, lmax = bounds
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = b - mv(x)
+    d = (r / diag) * (1.0 / theta)
+    x = x + d
+    for _ in range(sweeps - 1):
+        r = r - mv(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (r / diag)
+        x = x + d
+        rho = rho_new
+    return x
+
+
+def _smooth(TX, TY, diag, x, b, sweeps, omega, smoother):
+    if smoother == "cheb":
+        return _cheb(lambda v: stencil_matvec(TX, TY, diag, v), diag, x, b,
+                     sweeps)
+    return _jacobi(TX, TY, diag, x, b, sweeps, omega)
+
+
 def _dense_coarse_matrix(TX, TY, diag):
     """Materialize the coarsest operator by applying it to the identity."""
     n = diag.size
@@ -210,14 +255,16 @@ def _coarse_apply_unrolled(Ainv3, b):
     return y
 
 
-def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False, omega_c=1.4):
+def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False, omega_c=1.4,
+                 smoother="jacobi"):
     """One V-cycle from a zero initial guess: b -> approx A^{-1} b.
 
     Pure jnp on values — usable both under XLA and inside a Pallas kernel
     (ops/pressure_pallas.py, pass mosaic=True there: grid transfers become
     matmuls and the coarse solve unrolls, avoiding lane-splitting reshapes
     that Mosaic cannot lower). With mosaic=True, `Ainv` must be the
-    row-unflattened (n, Nc, Mc) form."""
+    row-unflattened (n, Nc, Mc) form. `smoother`: "jacobi" (damped, `omega`)
+    or "cheb" (degree-`nu` Chebyshev — see `_cheb`)."""
     restrict = _restrict_mm if mosaic else _restrict
     prolong = _prolong_mm if mosaic else _prolong
 
@@ -230,14 +277,14 @@ def vcycle_apply(hierarchy, Ainv, b, nu=2, omega=0.7, mosaic=False, omega_c=1.4)
         TX, TY, diag = hierarchy[lvl]
         if lvl == len(hierarchy) - 1:
             return coarse(b)
-        x = _jacobi(TX, TY, diag, jnp.zeros_like(b), b, nu, omega)
+        x = _smooth(TX, TY, diag, jnp.zeros_like(b), b, nu, omega, smoother)
         r = b - stencil_matvec(TX, TY, diag, x)
         ec = cycle(restrict(r), lvl + 1)
         # Constant-aggregation coarse spaces systematically under-correct;
         # the standard fix is over-correction (omega_c ~ 1.5-1.9), which
         # markedly improves the cycle's contraction at no extra cost.
         x = x + omega_c * prolong(ec, b.shape)
-        x = _jacobi(TX, TY, diag, x, b, nu, omega)
+        x = _smooth(TX, TY, diag, x, b, nu, omega, smoother)
         return x
 
     return cycle(b, 0)
@@ -296,6 +343,15 @@ def _jacobi_packed(TXf, TYf, diag, x, b, sweeps, omega):
     return x
 
 
+def _smooth_packed(TXf, TYf, diag, x, b, sweeps, omega, smoother):
+    if smoother == "cheb":
+        from historymatching_tpu.ops.packed import stencil_matvec_packed
+
+        return _cheb(lambda v: stencil_matvec_packed(TXf, TYf, diag, v),
+                     diag, x, b, sweeps)
+    return _jacobi_packed(TXf, TYf, diag, x, b, sweeps, omega)
+
+
 def _coarse_apply_packed(Ainv3p, b, P):
     """Grouped coarse solve: `Ainv3p` (P*n_loc, Nc, Wc) holds each member's
     inverse rows placed in ITS OWN lane block (zeros elsewhere), so the full
@@ -319,7 +375,8 @@ def _coarse_apply_packed(Ainv3p, b, P):
     return y
 
 
-def vcycle_apply_packed(hierarchy, Ainv3p, b, P, nu=2, omega=0.7, omega_c=1.4):
+def vcycle_apply_packed(hierarchy, Ainv3p, b, P, nu=2, omega=0.7, omega_c=1.4,
+                        smoother="jacobi"):
     """One V-cycle in the lane-packed layout (hierarchy levels are packed
     full-width face/diag triples; see ops/packed.py). Pure jnp — used inside
     the packed Pallas pressure kernel and testable under XLA/interpret."""
@@ -330,11 +387,12 @@ def vcycle_apply_packed(hierarchy, Ainv3p, b, P, nu=2, omega=0.7, omega_c=1.4):
             return _coarse_apply_packed(Ainv3p, b, P)
         from historymatching_tpu.ops.packed import stencil_matvec_packed
 
-        x = _jacobi_packed(TXf, TYf, diag, jnp.zeros_like(b), b, nu, omega)
+        x = _smooth_packed(TXf, TYf, diag, jnp.zeros_like(b), b, nu, omega,
+                           smoother)
         r = b - stencil_matvec_packed(TXf, TYf, diag, x)
         ec = cycle(_restrict_packed(r, P), lvl + 1)
         x = x + omega_c * _prolong_packed(ec, b.shape, P)
-        x = _jacobi_packed(TXf, TYf, diag, x, b, nu, omega)
+        x = _smooth_packed(TXf, TYf, diag, x, b, nu, omega, smoother)
         return x
 
     return cycle(b, 0)
@@ -376,7 +434,8 @@ def pack_coarse_inv(rows, P):
     return out.reshape(G, P * n_loc, Nc, P * Myc)
 
 
-def vcycle_solver(hierarchy, nu=2, omega=0.7, omega_c=1.4, Ainv=None):
+def vcycle_solver(hierarchy, nu=2, omega=0.7, omega_c=1.4, Ainv=None,
+                  smoother="jacobi"):
     """Return M_inv: b -> approx A^{-1} b (one V-cycle, zero initial guess).
 
     The returned closure is a fixed SPD preconditioner suitable for PCG.
@@ -387,4 +446,5 @@ def vcycle_solver(hierarchy, nu=2, omega=0.7, omega_c=1.4, Ainv=None):
     """
     if Ainv is None:
         Ainv = coarse_inverse(hierarchy)
-    return lambda b: vcycle_apply(hierarchy, Ainv, b, nu, omega, omega_c=omega_c)
+    return lambda b: vcycle_apply(hierarchy, Ainv, b, nu, omega,
+                                  omega_c=omega_c, smoother=smoother)

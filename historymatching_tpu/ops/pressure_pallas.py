@@ -30,9 +30,10 @@ from historymatching_tpu.ops.stencil import stencil_matvec, stencil_residual_ds
 
 
 @partial(jax.jit, static_argnames=("tol", "maxiter", "restart_every", "nu", "interpret",
-                                   "patience_iters", "compensated"))
+                                   "patience_iters", "compensated", "smoother"))
 def pressure_solve_pallas(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every=8, nu=2,
-                          interpret=False, patience_iters=96, compensated=False):
+                          interpret=False, patience_iters=96, compensated=False,
+                          smoother="jacobi"):
     """Solve the TPFA pressure system for one member in one fused kernel.
 
     hier_flat : flat tuple (TX0, TY0, diag0, TX1, ...) — the Galerkin
@@ -57,7 +58,7 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every
         Ainv_v, q_v, p0_v, w_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2], vals[3 * L + 3]
         TX0, TY0, diag0 = hier[0]
         matvec = lambda x: stencil_matvec(TX0, TY0, diag0, x)  # noqa: E731
-        Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
+        Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True, smoother=smoother)  # noqa: E731
         # Compensated (double-single) replacement residual. Compiles under
         # Mosaic but measured 7-40x slower per solve (0.18 -> 2.6-7.9 ms at
         # 64x64; even Neumaier-sum-only costs 20x) for a ~1.2x floor gain —
@@ -95,10 +96,11 @@ def pressure_solve_pallas(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every
 @partial(
     jax.jit,
     static_argnames=("tol", "maxiter", "restart_every", "nu", "block", "interpret",
-                     "patience_iters"),
+                     "patience_iters", "smoother"),
 )
 def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every=8,
-                                  nu=2, block=8, interpret=False, patience_iters=96):
+                                  nu=2, block=8, interpret=False, patience_iters=96,
+                                  smoother="jacobi"):
     """Batched variant: all inputs carry a leading member axis (N, ...).
 
     Each Pallas program solves `block` members with the hand-batched
@@ -126,7 +128,7 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, w, tol, maxiter, resta
         # operate on the full (block, Nx, Ny) batch with per-member masking —
         # Mosaic rejects the vector while-condition that jax.vmap(pcg) makes.
         matvec = lambda x: stencil_matvec(TX0, TY0, diag0, x)  # noqa: E731
-        Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True)  # noqa: E731
+        Minv = lambda b: vcycle_apply(hier, Ainv_v, b, nu=nu, mosaic=True, smoother=smoother)  # noqa: E731
         x, k, rel = pcg_batched(matvec, q_v, x0=p0_v, Minv=Minv, tol=tol,
                                 maxiter=maxiter, restart_every=restart_every,
                                 patience_iters=patience_iters, metric_weight=w_v)
@@ -170,11 +172,12 @@ def pressure_solve_pallas_batched(hier_flat, Ainv, q, p0, w, tol, maxiter, resta
 @partial(
     jax.jit,
     static_argnames=("P", "tol", "maxiter", "restart_every", "nu", "block_pairs",
-                     "interpret", "patience_iters"),
+                     "interpret", "patience_iters", "smoother"),
 )
 def pressure_solve_pallas_packed(hier_flat_p, Ainv3p, qp, p0p, wp, P, tol, maxiter,
                                  restart_every=8, nu=2, block_pairs=4,
-                                 interpret=False, patience_iters=96):
+                                 interpret=False, patience_iters=96,
+                                 smoother="jacobi"):
     """Lane-packed batched pressure solve: P members share each lane row
     (ops/packed.py), so at Ny = 64 every VPU op uses all 128 lanes instead
     of half. Inputs are packed full-width levels ((G, Nx, P*Ny) face/diag
@@ -199,7 +202,7 @@ def pressure_solve_pallas_packed(hier_flat_p, Ainv3p, qp, p0p, wp, P, tol, maxit
         Ainv_v, q_v, p0_v, w_v = vals[3 * L], vals[3 * L + 1], vals[3 * L + 2], vals[3 * L + 3]
         TXf, TYf, diag0 = hier[0]
         matvec = lambda x: stencil_matvec_packed(TXf, TYf, diag0, x)  # noqa: E731
-        Minv = lambda b: vcycle_apply_packed(hier, Ainv_v, b, P, nu=nu)  # noqa: E731
+        Minv = lambda b: vcycle_apply_packed(hier, Ainv_v, b, P, nu=nu, smoother=smoother)  # noqa: E731
         x, k, rel = pcg_batched(matvec, q_v, x0=p0_v, Minv=Minv, tol=tol,
                                 maxiter=maxiter, restart_every=restart_every,
                                 patience_iters=patience_iters, metric_weight=w_v,
@@ -252,7 +255,8 @@ def _pack_args(hier_flat, Ainv, q, p0, w, P):
 def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart_every=8,
                              nu=2, patience_iters=96, compensated=False, block=8,
                              packed=True, two_pass=True, twopass_j1=64,
-                             twopass_div=4, refine=True, interpret=False):
+                             twopass_div=4, refine=True, interpret=False,
+                             smoother="jacobi"):
     """Per-member pressure solve whose `vmap` rule is the blocked kernel.
 
     Unbatched calls run the per-member fused kernel; under `jax.vmap` (the
@@ -279,7 +283,7 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
         return pressure_solve_pallas(
             hier_flat, Ainv, q, p0, w, tol, maxiter, restart_every=restart_every,
             nu=nu, patience_iters=patience_iters, compensated=compensated,
-            interpret=interpret,
+            interpret=interpret, smoother=smoother,
         )
 
     @solve.def_vmap
@@ -323,6 +327,7 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
                     hier_p, Ainv_p, q_p, p0_p, w_p, P, tol, miter,
                     restart_every=restart_every, nu=nu, block_pairs=block_pairs,
                     patience_iters=patience_iters, interpret=interpret,
+                    smoother=smoother,
                 )
                 return (unpack_cells(pp, P),
                         it_p[:, 0, ::Ny].reshape(-1),
@@ -394,7 +399,7 @@ def pressure_solve_vmappable(hier_flat, Ainv, q, p0, w, *, tol, maxiter, restart
         p, it, rel = pressure_solve_pallas_batched(
             hier_flat_b, Ainv_b, q_b, p0_b, w_b, tol, maxiter,
             restart_every=restart_every, nu=nu, block=block,
-            patience_iters=patience_iters,
+            patience_iters=patience_iters, smoother=smoother,
         )
         return (p[:axis_size], it[:axis_size], rel[:axis_size]), (True, True, True)
 

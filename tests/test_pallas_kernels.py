@@ -315,3 +315,51 @@ def test_pressure_strategy_knobs_alter_trace(key):
     assert "top_k" not in no_packed  # blocked path has no recook
     assert no_packed != no_two_pass
     assert trace(twopass_j1=32) != base
+
+
+def test_pressure_pallas_cheb_matches_xla(key):
+    """The fused kernel with the Chebyshev smoother (interpret mode) and the
+    XLA path with the same smoother deliver the same solution to solver
+    tolerance (CLAUDE.md invariant: both paths numerically equivalent)."""
+    from historymatching_tpu.ops.cg import pcg
+    from historymatching_tpu.ops.multigrid import (
+        build_hierarchy,
+        coarse_inverse,
+        vcycle_solver,
+    )
+    from historymatching_tpu.ops.pressure_pallas import pressure_solve_pallas
+    from historymatching_tpu.ops.stencil import (
+        stencil_diag_nopin,
+        stencil_matvec,
+        transmissibilities,
+    )
+
+    m = default_model(Nx=16, Ny=16)
+    g = m.grid
+    perm = jax.random.normal(key, (g.Nxy,)).astype(jnp.float32)
+    K = (0.1 + jnp.exp(3 * perm)).reshape(g.shape)
+    TX, TY = transmissibilities(K, K, g.hx, g.hy)
+    dnp = stencil_diag_nopin(TX, TY)
+    pin = jnp.mean(dnp)
+    diag = dnp.at[0, 0].add(pin)
+    q = jnp.zeros(g.shape, jnp.float32).at[8, 8].set(1.0).at[2, 2].set(-1.0)
+    hierarchy = build_hierarchy(TX, TY, pin)
+    Nc, Mc = hierarchy[-1][2].shape
+    Ainv3 = coarse_inverse(hierarchy).reshape(-1, Nc, Mc)
+    hier_flat = tuple(x for lvl in hierarchy for x in lvl)
+
+    p_pl, _, _ = pressure_solve_pallas(
+        hier_flat, Ainv3, q, jnp.zeros_like(q), jnp.ones_like(q), tol=1e-4,
+        maxiter=256, interpret=True, smoother="cheb",
+    )
+    mv = lambda x: stencil_matvec(TX, TY, diag, x)  # noqa: E731
+    p_x, _, _ = pcg(
+        mv, q, x0=jnp.zeros_like(q), Minv=vcycle_solver(hierarchy, smoother="cheb"),
+        tol=1e-4, maxiter=256, restart_every=8,
+    )
+    nq = np.linalg.norm(np.asarray(q))
+    for p_sol in (p_pl, p_x):
+        r = np.asarray(q - mv(p_sol))
+        assert np.linalg.norm(r) / nq < 1e-3
+    scale = np.abs(np.asarray(p_x)).max()
+    assert np.allclose(np.asarray(p_pl), np.asarray(p_x), atol=2e-3 * scale)

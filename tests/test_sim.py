@@ -319,3 +319,21 @@ def test_freeze_coarse_preconditioner_only():
         )(s0))
 
     assert trace(freeze_coarse=True) != trace()
+
+
+def test_cheb_smoother_equivalence(key):
+    """`smoother="cheb"` (degree-nu Chebyshev V-cycle smoothing,
+    ops/multigrid._cheb) is preconditioner-only: with converged f64 solves
+    the trajectory matches the damped-Jacobi default to solver tolerance,
+    with cg_ok intact — and the better polynomial damping must not cost
+    extra CG iterations."""
+    m = default_model(Nx=16, Ny=16)
+    K = jnp.exp(2.0 * jax.random.normal(key, (2, m.Nxy)))
+    m = m.replace(K=jnp.stack([K[0].reshape(m.shape)] * 2))
+    jac = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6)
+    chb = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6, smoother="cheb")
+    assert bool(jac.cg_ok) and bool(chb.cg_ok)
+    assert np.allclose(np.asarray(chb.wsats), np.asarray(jac.wsats), atol=1e-8)
+    # Not bit-pinned (realization-dependent), but Chebyshev should never be
+    # much worse than Jacobi at equal cost-per-sweep.
+    assert int(chb.cg_iters.sum()) <= int(1.1 * jac.cg_iters.sum())
