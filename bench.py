@@ -405,55 +405,124 @@ def _roofline_fields(case, elapsed, n_ens, mda_steps, sched=None, **sim_kwargs):
     }
 
 
-def _ies_one(case, sim_only_kw, iMax=10):
-    """One IES run (xStep=0.4) at the bench shape; returns (post, prior_rmse,
-    post_rmse)."""
+def _ies_one(case, sim_only_kw, iMax=10, dtype=jnp.float32, forward=None,
+             xStep=0.4, sched=None, callback=None):
+    """One IES run at the bench shape; returns (post, prior_rmse, post_rmse).
+
+    `forward`: alternative forward model (e.g. the exact f64 oracle for the
+    parity harness — models/oracle.py). `sched` (optional): per-GN-iteration
+    solver-effort overrides (list of iMax simulate-kwarg dicts on top of
+    `sim_only_kw`) — the truth obs synthesis always runs at the base
+    (full-accuracy) settings. Noise/perturbations are drawn in float32
+    regardless of `dtype` (paired-seed parity, see build_case docstring)."""
     from historymatching_tpu.da.update import decorrelator, ies
-    from historymatching_tpu.parallel.runner import forward_model
+    from historymatching_tpu.parallel.runner import forward_model as _fm
     from historymatching_tpu.utils import gaussian_noise
 
+    forward_model = forward or _fm
     model, nTime = case["model"], case["nTime"]
-    prior = case["prior"]
-    R12 = case["R12"]
+    prior = case["prior"].astype(dtype)
+    truth = case["truth"].astype(dtype)
+    R12 = case["R12"].astype(dtype)
+    noise = case["noise"].astype(dtype)
     N = prior.shape[0]
 
-    _, prod_truth = forward_model(model, case["truth"][None], dt=DT,
+    _, prod_truth = forward_model(model, truth[None], dt=DT,
                                   nTime=nTime, keep_wsats=False, **sim_only_kw)
-    obs = jnp.clip(prod_truth[0].reshape(-1) + case["noise"], 0, 1)
+    obs = jnp.clip(prod_truth[0].reshape(-1) + noise, 0, 1)
 
-    def fwd(E):
-        _, prods = forward_model(model, E, dt=DT, nTime=nTime,
-                                 keep_wsats=False, **sim_only_kw)
-        return prods.reshape(prods.shape[0], -1)
+    def make_fwd(kw):
+        def fwd(E):
+            _, prods = forward_model(model, E, dt=DT, nTime=nTime,
+                                     keep_wsats=False, **kw)
+            return prods.reshape(prods.shape[0], -1)
 
-    perturbs = gaussian_noise(case["key_mda"], N, obs.shape[0], L=R12)
+        return fwd
+
+    if sched is None:
+        fwd_obs = make_fwd(sim_only_kw)
+    else:
+        assert len(sched) == iMax, (len(sched), iMax)
+        fwd_obs = [make_fwd(dict(sim_only_kw, **ov)) for ov in sched]
+
+    # draws made with the float32 R12 so f32/f64 runs pair bit-identically
+    perturbs = gaussian_noise(case["key_mda"], N, obs.shape[0],
+                              L=case["R12"]).astype(dtype)
     dec = decorrelator(R12)
-    post, _ = ies(prior, fwd, obs, perturbs, dec, xStep=0.4, iMax=iMax)
+    post, _ = ies(prior, fwd_obs, obs, perturbs, dec, xStep=xStep, iMax=iMax,
+                  callback=callback)
     jax.block_until_ready(post)
     return (post, rmse_vs_truth(prior, case["truth"]),
             rmse_vs_truth(post, case["truth"]))
 
 
-def _ies_fields(case, sim_only_kw):
+def run_ies_case(seed, N, Nx=64, Ny=64, nTime=40, dtype=jnp.float32,
+                 iMax=10, xStep=0.4, oracle=False, sched=None, timed=False,
+                 progress=False, **sim_kwargs):
+    """End-to-end IES (the reference's own headline method, xStep=0.4
+    iMax=10 — HistoryMatch.py:961): build case -> run -> quality dict.
+    The IES analogue of `run_case`, used by scripts/parity.py --ies."""
+    case = build_case(seed, N, Nx, Ny, nTime)
+    forward = None
+    if oracle:
+        from historymatching_tpu.models.oracle import forward_oracle
+
+        assert dtype == jnp.float64, "the oracle is an f64 reference"
+        forward = forward_oracle
+    callback = None
+    if progress:
+        def callback(info):
+            print(f"  seed {seed} N={N}: GN iter {info['iter']}/"
+                  f"{info['iMax']} done at {info['elapsed_s']:.1f} s",
+                  flush=True)
+    t0 = time.perf_counter()
+    post, e_prior, e_post = _ies_one(case, sim_kwargs, iMax=iMax, dtype=dtype,
+                                     forward=forward, xStep=xStep, sched=sched,
+                                     callback=callback)
+    t_first = time.perf_counter() - t0
+    elapsed = None
+    if timed:
+        t0 = time.perf_counter()
+        post, e_prior, e_post = _ies_one(case, sim_kwargs, iMax=iMax,
+                                         dtype=dtype, forward=forward,
+                                         xStep=xStep, sched=sched)
+        elapsed = time.perf_counter() - t0
+    return dict(
+        seed=seed,
+        rmse_prior=e_prior,
+        rmse_post=e_post,
+        first_call_s=round(t_first, 3),
+        elapsed_s=None if elapsed is None else round(elapsed, 3),
+    )
+
+
+def _ies_fields(case):
     """Flagship-IES wall-clock + quality (round-3 VERDICT item 3): the
     reference's own headline method is IES at xStep=0.4, iMax=10
     (/root/reference/notebooks/HistoryMatch.py:961). Run it at the bench
     shape — the global N x N weight state is 4 MB at N=1000, trivially
     affordable (the domain-batched ILES handles the localized variant; its
-    on-chip test is tests_tpu/test_pallas_tpu.py) — every forward at the
-    FULL-accuracy solver settings (IES has no MDA-style loose-pass
-    structure; each iteration's innovations feed the Gauss-Newton step).
+    on-chip test is tests_tpu/test_pallas_tpu.py) — at the official
+    `bench_ies_kwargs()` solver settings, including any per-GN-iteration
+    effort schedule that has survived the IES parity gate.
 
-    Quality is multi-seed like the ES-MDA headline (the default seed is the
-    one realization whose posterior worsens even in exact f64 —
-    parity/cpu_f64_refs.json seed 1): `ies_improves_frac` runs the same
-    seed set; the compiled forward is shape-shared so extra seeds cost
-    runtime only (~ies_value each). BENCH_IES_SEEDS=1 limits to the timed
-    default seed."""
+    Quality evidence is two-fold (round-4 VERDICT weak #4):
+    - `ies_improves_frac` over the 5-seed set (the default seed is the one
+      realization whose posterior worsens even in exact f64);
+    - `ies_parity_*`: the committed exact-f64-oracle RMSE-ratio artifact
+      (scripts/parity.py --ies -> parity/PARITY_TPU_IES.json), the same
+      criterion every ES-MDA claim is held to, staleness-guarded against
+      THIS run's IES solver settings.
+    BENCH_IES_SEEDS=1 limits to the timed default seed."""
+    kw = bench_ies_kwargs()
+    sim_only_kw = {k: v for k, v in kw.items() if k != "ies_sched"}
+    sched = kw.get("ies_sched")
+    run = dict(iMax=10, xStep=0.4, sched=sched)
     # Warm-up (compiles the forward + the jitted GN inner step).
-    _ies_one(case, sim_only_kw, iMax=1)
+    _ies_one(case, sim_only_kw, **dict(run, iMax=1,
+                                       sched=sched[:1] if sched else None))
     t0 = time.perf_counter()
-    _, e_prior, e_post = _ies_one(case, sim_only_kw)
+    _, e_prior, e_post = _ies_one(case, sim_only_kw, **run)
     elapsed = time.perf_counter() - t0
     rmse_seeds = {str(case["seed"]): [round(e_prior, 4), round(e_post, 4)]}
     n_seeds = int(os.environ.get("BENCH_IES_SEEDS", "5"))
@@ -462,17 +531,38 @@ def _ies_fields(case, sim_only_kw):
             continue
         case_s = build_case(s, *(case[k] for k in
                                  ("N", "Nx", "Ny", "nTime")))
-        _, ep, eo = _ies_one(case_s, sim_only_kw)
+        _, ep, eo = _ies_one(case_s, sim_only_kw, **run)
         rmse_seeds[str(s)] = [round(ep, 4), round(eo, 4)]
     n_imp = sum(post < prior for prior, post in rmse_seeds.values())
-    return {
+    out = {
         "ies_value": round(elapsed, 3),
-        "ies_config": "xStep=0.4 iMax=10 (reference HistoryMatch.py:961)",
+        "ies_config": "xStep=0.4 iMax=10 (reference HistoryMatch.py:961)"
+                      + (" + per-iteration effort schedule" if sched else ""),
         "ies_rmse_post": round(e_post, 4),
         "ies_posterior_improves": bool(e_post < e_prior),
         "ies_rmse_seeds": rmse_seeds,
         "ies_improves_frac": f"{n_imp}/{len(rmse_seeds)}",
     }
+    # Exact-oracle parity fold-in (same pattern as _parity_fields).
+    path = os.path.join(os.path.dirname(PARITY_REFS), "PARITY_TPU_IES.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            p = json.load(f)
+        rec = {k: v for k, v in p.get("sim_kwargs", {}).items()
+               if k not in ("iMax", "xStep")}
+        if rec != kw:
+            out["ies_parity_stale"] = True
+        else:
+            out.update(
+                ies_parity_seeds=p.get("seeds"),
+                ies_parity_N=p.get("N"),
+                ies_parity_rmse_ratio_median=p.get("ratio_median"),
+                ies_parity_rmse_ratio_max=p.get("ratio_max"),
+                ies_parity_improves_direction_matches_f64=p.get(
+                    "improves_direction_matches"),
+                ies_parity_ok=p.get("ok"),
+            )
+    return out
 
 
 def _enopt_fields():
@@ -654,6 +744,31 @@ DEFAULT_SCHED = [_SCHED_LOOSE, _SCHED_LOOSE, _SCHED_LOOSE,
                  dict(twopass_div=8, twopass_j1=8, maxiter=128)]
 
 
+# Per-GN-iteration IES solver-effort schedule (round-4 VERDICT item 3b):
+# None until a schedule survives the IES parity gate (scripts/parity.py
+# --ies); candidates are screened by scripts/ies_probe.py. If adopted, this
+# becomes a list of 10 per-iteration simulate-kwarg override dicts.
+IES_DEFAULT_SCHED = None
+
+
+def bench_ies_kwargs():
+    """The official bench IES solver settings: the ES-MDA base settings
+    (per-pass MDA schedule and cross-pass warm start do not apply to IES)
+    plus an optional per-GN-iteration effort schedule (`ies_sched`).
+    Recorded in parity/PARITY_TPU_IES.json; bench._ies_fields flags the
+    artifact stale when they differ."""
+    kw = {k: v for k, v in bench_sim_kwargs().items()
+          if k not in ("sched", "warm_start")}
+    sched_env = os.environ.get("BENCH_IES_SCHED", "")
+    if sched_env == "off":
+        pass
+    elif sched_env:
+        kw["ies_sched"] = json.loads(sched_env)
+    elif IES_DEFAULT_SCHED is not None:
+        kw["ies_sched"] = [dict(s) for s in IES_DEFAULT_SCHED]
+    return kw
+
+
 def bench_sim_kwargs():
     """The official bench solver settings. Measured quality-speed curve
     (multi-seed f32/f64 posterior-RMSE ratio from scripts/parity.py vs
@@ -802,7 +917,7 @@ def main():
     # ES-MDA. Skippable (BENCH_IES=0 / BENCH_ENOPT=0); never in SMALL mode.
     try:
         if os.environ.get("BENCH_IES", "0" if SMALL else "1") == "1":
-            out.update(_ies_fields(case, sim_only_kw))
+            out.update(_ies_fields(case))
     except Exception as e:  # pragma: no cover — diagnostics must not kill the bench
         out["ies_error"] = str(e)[:200]
     try:

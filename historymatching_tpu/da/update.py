@@ -222,7 +222,12 @@ def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4,
     """Iterative ensemble smoother (subspace GN; reference HistoryMatch.py:906-944).
 
     `obs_ens` is a *callable* E -> observed ensemble (the forward model runs
-    once per iteration; host loop around a jitted inner step).
+    once per iteration; host loop around a jitted inner step). It may also be
+    a SEQUENCE of iMax per-iteration callables — e.g. a cheaper solver
+    tolerance for the early Gauss-Newton iterations, whose innovations only
+    steer intermediate weight matrices, and the full-accuracy operator for
+    the last (the `es_mda` per-pass-forward analogue; quality gated by the
+    IES parity harness, scripts/parity.py --ies).
     Returns (posterior_ens, stats) with stats = {"E": [...], "Eo": [...]}.
     `callback` (optional): per-iteration progress hook — iMax host
     iterations each cost N simulations, so long runs should report; called
@@ -231,6 +236,11 @@ def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4,
     tools/utils.py:245-269).
     """
     prior_ens = jnp.asarray(prior_ens)
+    fwd_per_iter = (list(obs_ens) if isinstance(obs_ens, (list, tuple))
+                    else [obs_ens] * iMax)
+    if len(fwd_per_iter) != iMax:
+        raise ValueError(f"{len(fwd_per_iter)} forward operators for "
+                         f"{iMax} IES iterations")
     y = jnp.asarray(obs) @ decorr
     D = jnp.asarray(perturbs) @ decorr
     X0, x0 = center(prior_ens)
@@ -240,7 +250,7 @@ def ies(prior_ens, obs_ens, obs, perturbs, decorr, xStep=1.0, iMax=4,
     t0 = time.perf_counter()
     for itr in range(iMax):
         E = x0 + W @ X0
-        Eo = jnp.asarray(obs_ens(E))
+        Eo = jnp.asarray(fwd_per_iter[itr](E))
         stats["E"].append(E)
         stats["Eo"].append(Eo)
         W = inner(W, Eo @ decorr, y, D, xStep)

@@ -2,7 +2,8 @@
 """Multi-seed posterior-quality parity harness (BASELINE.md: "posterior-mean
 RMSE parity with CPU reference"; VERDICT round-1 item 2, round-2 items 1-2).
 
-Three modes, the first two each for the global and the localized workload:
+Modes — ref/run each for the global, the localized, and (--ies) the IES
+workload:
 
   python scripts/parity.py ref [--loc]    # CPU float64 EXACT reference
       Runs the bench configuration (64x64, nTime=40, ES-MDA(4)) at N=PARITY_N
@@ -22,6 +23,17 @@ Three modes, the first two each for the global and the localized workload:
       writes parity/PARITY_TPU.json (PARITY_TPU_LOC.json with --loc) with the
       per-seed ratios. PASS criterion (folded into bench.py output):
       median(rmse_post_f32 / rmse_post_f64) <= 1.05.
+
+  python scripts/parity.py ref --ies      # CPU f64 EXACT reference, IES
+  python scripts/parity.py run --ies      # current backend, IES (run on TPU)
+      Same pairing for the reference's own headline method — IES at
+      xStep=0.4, iMax=10 (reference HistoryMatch.py:961) — so its f32 TPU
+      quality is held to the same exact-f64-oracle RMSE-ratio criterion as
+      every ES-MDA claim (round-4 VERDICT weak #4). N=PARITY_N (192),
+      seeds PARITY_IES_SEEDS (default 1-5); writes
+      parity/cpu_f64_refs_ies.json / parity/PARITY_TPU_IES.json. The f32
+      side runs bench.bench_ies_kwargs() — the official bench IES solver
+      settings, including any per-GN-iteration effort schedule.
 
   python scripts/parity.py xcheck         # f64 MG-PCG cross-check (slow)
       The production ITERATIVE solver in float64 at tol 1e-7 (the round-2
@@ -60,8 +72,13 @@ OUT_DIR = os.path.join(REPO, "parity")
 
 SEEDS = [int(s) for s in os.environ.get(
     "PARITY_SEEDS", "1,2,3,4,5,6,7,8,9,10").split(",")]
+# IES is ~2.5x the oracle cost of ES-MDA(4) per seed (10 GN re-simulations
+# vs 4 passes), so its seed set is the 5-seed core of the ladder.
+IES_SEEDS = [int(s) for s in os.environ.get(
+    "PARITY_IES_SEEDS", "1,2,3,4,5").split(",")]
 N = int(os.environ.get("PARITY_N", "192"))
 THRESHOLD = 1.05
+IES_IMAX, IES_XSTEP = 10, 0.4  # reference HistoryMatch.py:961
 
 
 def ref_path(loc, n=None):
@@ -157,6 +174,129 @@ def mode_ref(loc):
         rows.sort(key=lambda r: r["seed"])
         write()
     print(f"wrote {ref_path(loc)}")
+
+
+def ies_ref_path():
+    return os.path.join(OUT_DIR, "cpu_f64_refs_ies.json")
+
+
+def ies_run_path():
+    return os.path.join(OUT_DIR, "PARITY_TPU_IES.json")
+
+
+def _ies_ref_sim_kw():
+    return dict(ORACLE_KW, iMax=IES_IMAX, xStep=IES_XSTEP)
+
+
+def _ies_sim_kw():
+    import bench
+
+    kw = bench.bench_ies_kwargs()
+    kw.update(json.loads(os.environ.get("PARITY_SIM_KW", "{}")))
+    kw.update(iMax=IES_IMAX, xStep=IES_XSTEP)
+    return kw
+
+
+def mode_ref_ies():
+    """Exact-f64-oracle IES reference (resumable per seed, like mode_ref;
+    ~2.5x an ES-MDA ref seed: 10 x N forwards + truth)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    import bench
+
+    rows = []
+    if os.path.exists(ies_ref_path()):
+        with open(ies_ref_path()) as f:
+            old = json.load(f)
+        if old.get("N") == N and old.get("sim_kwargs") == _ies_ref_sim_kw():
+            rows = [r for r in old["rows"] if r["seed"] in IES_SEEDS]
+            print(f"resuming: seeds {[r['seed'] for r in rows]} already done",
+                  flush=True)
+
+    def write():
+        os.makedirs(OUT_DIR, exist_ok=True)
+        out = dict(N=N, seeds=[r["seed"] for r in rows], method="ies",
+                   config=f"64x64 nTime=40 IES(xStep={IES_XSTEP}, iMax={IES_IMAX})",
+                   sim_kwargs=_ies_ref_sim_kw(), backend="cpu", rows=rows)
+        tmp = ies_ref_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, ies_ref_path())
+
+    for seed in IES_SEEDS:
+        if any(r["seed"] == seed for r in rows):
+            continue
+        r = bench.run_ies_case(seed, N, dtype=jnp.float64, timed=False,
+                               oracle=True, progress=True,
+                               iMax=IES_IMAX, xStep=IES_XSTEP)
+        r["dtype"] = "float64"
+        print(r, flush=True)
+        rows.append(r)
+        rows.sort(key=lambda r: r["seed"])
+        write()
+    print(f"wrote {ies_ref_path()}")
+
+
+def mode_run_ies():
+    """f32 IES on the current backend vs the committed exact-oracle refs —
+    the same ratio criterion as the ES-MDA parity runs."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    with open(ies_ref_path()) as f:
+        ref = json.load(f)
+    assert ref["N"] == N and ref["seeds"] == IES_SEEDS, (
+        "IES reference config mismatch: regenerate with parity.py ref --ies"
+    )
+    ref_by_seed = {r["seed"]: r for r in ref["rows"]}
+
+    kw = _ies_sim_kw()
+    run_kw = {k: v for k, v in kw.items() if k != "ies_sched"}
+    sched = kw.get("ies_sched")
+    rows, ratios, dir_match = [], [], 0
+    for seed in IES_SEEDS:
+        r = bench.run_ies_case(seed, N, dtype=jnp.float32, timed=False,
+                               sched=sched, **run_kw)
+        r["dtype"] = "float32"
+        r["rmse_post_ref"] = ref_by_seed[seed]["rmse_post"]
+        r["ratio"] = r["rmse_post"] / r["rmse_post_ref"]
+        f64_improves = (ref_by_seed[seed]["rmse_post"]
+                        < ref_by_seed[seed]["rmse_prior"])
+        f32_improves = r["rmse_post"] < r["rmse_prior"]
+        r["improves_matches_f64"] = bool(f32_improves == f64_improves)
+        dir_match += r["improves_matches_f64"]
+        ratios.append(r["ratio"])
+        print(r, flush=True)
+        rows.append(r)
+
+    ratios_sorted = sorted(ratios)
+    median = ratios_sorted[len(ratios) // 2] if len(ratios) % 2 else 0.5 * (
+        ratios_sorted[len(ratios) // 2 - 1] + ratios_sorted[len(ratios) // 2]
+    )
+    out = dict(
+        N=N, seeds=IES_SEEDS, method="ies", config=ref["config"],
+        sim_kwargs=kw, ref_sim_kwargs=ref["sim_kwargs"],
+        backend=jax.devices()[0].platform,
+        rows=rows,
+        ratio_median=round(median, 4),
+        ratio_max=round(max(ratios), 4),
+        ratio_min=round(min(ratios), 4),
+        improves_direction_matches=f"{dir_match}/{len(IES_SEEDS)}",
+        threshold=THRESHOLD,
+        ok=bool(median <= THRESHOLD),
+    )
+    with open(ies_run_path(), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in
+                      ("ratio_median", "ratio_min", "ratio_max", "ok")}))
+    print(f"wrote {ies_run_path()}")
 
 
 def mode_xcheck():
@@ -273,14 +413,19 @@ def mode_run(loc):
 if __name__ == "__main__":
     argv = sys.argv[1:]
     loc = "--loc" in argv
-    argv = [a for a in argv if a != "--loc"]
+    ies = "--ies" in argv
+    argv = [a for a in argv if a not in ("--loc", "--ies")]
     mode = argv[0] if argv else "run"
+    if ies and loc:
+        raise SystemExit("--ies and --loc are mutually exclusive "
+                         "(the localized iterative smoother is iles_domains; "
+                         "its on-chip test is tests_tpu/)")
     if mode == "ref":
-        mode_ref(loc)
+        mode_ref_ies() if ies else mode_ref(loc)
     elif mode == "run":
-        mode_run(loc)
+        mode_run_ies() if ies else mode_run(loc)
     elif mode == "xcheck":
         mode_xcheck()
     else:
         raise SystemExit(
-            f"unknown mode {mode!r} (use 'ref'/'run' [--loc], 'xcheck')")
+            f"unknown mode {mode!r} (use 'ref'/'run' [--loc|--ies], 'xcheck')")

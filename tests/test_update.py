@@ -137,6 +137,20 @@ def test_ies_linear_reproduces_es(gg):
     assert stats["E"].shape[0] == 4
 
 
+def test_ies_forward_list_matches_single(gg):
+    """`obs_ens` as a list of per-iteration callables (the solver-effort
+    schedule hook) must bit-match the single-callable form when every entry
+    is the same operator, and reject a wrong-length list."""
+    import pytest
+
+    fwd = lambda x: x
+    single, _ = ies(**gg, obs_ens=fwd, xStep=0.6, iMax=3)
+    listed, _ = ies(**gg, obs_ens=[fwd, fwd, fwd], xStep=0.6, iMax=3)
+    assert np.array_equal(np.asarray(single), np.asarray(listed))
+    with pytest.raises(ValueError):
+        ies(**gg, obs_ens=[fwd, fwd], xStep=0.6, iMax=3)
+
+
 def test_iles_linear_reproduces_les(gg):
     """Reference bug check (HistoryMatch.py:1067-1071)."""
     les_post = ens_update0_loc(**gg, obs_ens=gg["prior_ens"], taper=jnp.eye(D))
