@@ -42,14 +42,18 @@ def main():
     passed, failed, skipped = count("passed"), count("failed"), count("skipped")
     sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                          capture_output=True, text=True).stdout.strip()
-    # The artifact itself is necessarily uncommitted while being refreshed —
-    # exclude it from the dirty check so a code-clean tree records clean.
+    # Evidence artifacts the refresh pipeline itself (re)writes are excluded
+    # from the dirty check (they are necessarily uncommitted mid-refresh);
+    # any OTHER uncommitted change forces ok=false — see run_cpu_tests.py.
     status = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
                             capture_output=True, text=True).stdout
+    evidence = ("parity/CPU_TESTS.json", "parity/TPU_TESTS.json",
+                "parity/BENCH_DETAIL.json")
     dirty = bool([ln for ln in status.splitlines()
-                  if ln.strip() and "parity/TPU_TESTS.json" not in ln])
+                  if ln.strip() and not any(e in ln for e in evidence)])
+    green = bool(proc.returncode == 0 and passed > 0 and failed == 0)
     out = dict(
-        ok=bool(proc.returncode == 0 and passed > 0 and failed == 0),
+        ok=bool(green and not dirty),
         passed=passed, failed=failed, skipped=skipped,
         duration_s=round(dur, 1),
         sha=sha + ("-dirty" if dirty else ""),
@@ -61,6 +65,8 @@ def main():
         sha_convention="parent-of-committing-commit",
         timestamp=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     )
+    if green and dirty:
+        out["ok_reason"] = "suite green but tree dirty: not round evidence"
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)

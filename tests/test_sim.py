@@ -334,6 +334,9 @@ def test_cheb_smoother_equivalence(key):
     chb = simulate(m, jnp.zeros(m.Nxy), dt=0.025, nTime=6, smoother="cheb")
     assert bool(jac.cg_ok) and bool(chb.cg_ok)
     assert np.allclose(np.asarray(chb.wsats), np.asarray(jac.wsats), atol=1e-8)
-    # Not bit-pinned (realization-dependent), but Chebyshev should never be
-    # much worse than Jacobi at equal cost-per-sweep.
-    assert int(chb.cg_iters.sum()) <= int(1.1 * jac.cg_iters.sum())
+    # Not bit-pinned (realization-dependent): at this pinned key the ratio
+    # is ~1.0 (cheb ~= jacobi iterations), but CG counts can shift a few
+    # percent under platform/libm/dtype changes, so the bound carries a wide
+    # margin — it exists to catch a broken Chebyshev smoother (2x+ blowup),
+    # not to rank the smoothers (scripts/sched_probe.py does that on-chip).
+    assert int(chb.cg_iters.sum()) <= int(1.25 * jac.cg_iters.sum())
