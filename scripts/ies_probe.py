@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Screen per-GN-iteration IES solver-effort schedules (round-4 VERDICT
+item 3b).
+
+ES-MDA's 16.9 s -> 6.4 s win came from loosening the passes whose
+innovations only steer intermediate ensembles. IES has an analogous
+structure to MEASURE (bench.py's old "IES has no MDA-style loose-pass
+structure" was asserted, not measured): each Gauss-Newton iteration
+re-simulates the current iterate and moves the weight matrix W by
+xStep * (GN step); early iterations' innovations only steer intermediate
+W's, and later iterations re-derive the innovation from a fresh
+re-simulation — so early re-simulations may tolerate looser solves, while
+the LAST one(s) fix the converged innovation the posterior reads.
+
+Per candidate (a list of iMax=10 per-iteration simulate-kwarg overrides):
+
+  - N=1000 flagship IES wall-clock (bench.run_ies_case, timed), and
+  - the f32/f64-exact posterior-RMSE ratio at N=192 for every seed in the
+    committed exact-oracle IES reference (parity/cpu_f64_refs_ies.json) —
+    the same criterion scripts/parity.py --ies applies.
+
+Writes nothing; prints one JSON line per candidate. Run on TPU with the
+machine otherwise quiet. Adoption = set bench.IES_DEFAULT_SCHED and re-pin
+parity/PARITY_TPU_IES.json.
+
+Usage: python scripts/ies_probe.py [candidate ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+IMAX = 10
+
+# Building blocks (overrides on top of bench_ies_kwargs' base settings:
+# tol 2e-4 / maxiter 768 / patience 256 / twopass_j1 64 / twopass_div 4).
+# The MDA-proven recook structure: pass-1 cap at the restart_every=8 floor,
+# worst eighth recooked.
+T8 = dict(twopass_j1=8, twopass_div=8)                    # tight, lean recook
+T8M128 = dict(twopass_j1=8, twopass_div=8, maxiter=128)   # MDA's final pass
+L8 = dict(tol=2e-3, maxiter=256, patience_iters=128,      # MDA's loose pass
+          twopass_j1=8, twopass_div=8)
+
+CANDIDATES = {
+    "base": None,                       # uniform base settings (round-4 run)
+    # lean recook structure everywhere, tolerance untouched — pure kernel
+    # cost, no accuracy trade at all in the tolerance sense
+    "T8all": [T8] * IMAX,
+    "T8M128all": [T8M128] * IMAX,
+    # the MDA analogy: loose for the steering iterations, full for the last
+    "Lx9T": [L8] * 9 + [T8M128],
+    "Lx8TT": [L8] * 8 + [T8M128] * 2,
+    # gentler: loose only for the first half (GN is a contraction toward the
+    # MAP; late iterations' steps are small but their innovations multiply
+    # accumulated W updates)
+    "Lx5T5": [L8] * 5 + [T8M128] * 5,
+}
+
+
+def main():
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+
+    import bench
+
+    names = sys.argv[1:] or list(CANDIDATES)
+    base = {k: v for k, v in bench.bench_ies_kwargs().items()
+            if k != "ies_sched"}
+
+    ref_rows, n_par = {}, 192
+    ref_path = os.path.join(REPO, "parity", "cpu_f64_refs_ies.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        ref_rows = {r["seed"]: r for r in ref["rows"]}
+        n_par = ref["N"]
+    else:
+        print(json.dumps({"warn": "no committed IES oracle refs yet — "
+                          "timing only (run scripts/parity.py ref --ies)"}),
+              flush=True)
+
+    for name in names:
+        sched = CANDIDATES[name]
+        t0 = time.time()
+        row = {"cand": name}
+
+        # Flagship timing, official protocol shape (N=1000, seed 1).
+        r = bench.run_ies_case(1, bench.N_ENS, dtype=jnp.float32, timed=True,
+                               iMax=IMAX, xStep=0.4, sched=sched, **base)
+        row.update(elapsed_s=r["elapsed_s"], first_call_s=r["first_call_s"],
+                   rmse_post_n1000=round(r["rmse_post"], 4))
+
+        # Quality ratio at the parity shape for every committed ref seed.
+        ratios = {}
+        for seed, rr in sorted(ref_rows.items()):
+            q = bench.run_ies_case(seed, n_par, dtype=jnp.float32,
+                                   timed=False, iMax=IMAX, xStep=0.4,
+                                   sched=sched, **base)
+            ratios[str(seed)] = round(q["rmse_post"] / rr["rmse_post"], 4)
+        if ratios:
+            row["ratios_n192"] = ratios
+            row["ratio_max"] = max(ratios.values())
+        row["probe_s"] = round(time.time() - t0, 1)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
