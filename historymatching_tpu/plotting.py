@@ -422,10 +422,51 @@ def interact(**controls):
 
 
 def init(backend=None):
-    """Backend selection hook (reference tools/plotting.py:153-242). Headless
-    environments keep Agg; notebooks may pass 'inline' etc."""
+    """Backend auto-selection (reference tools/plotting.py:153-242 detects
+    inline/Qt5Agg/Colab). An explicit `backend` always wins; otherwise:
+
+    - Google Colab / a Jupyter ZMQ kernel -> the inline backend (images
+      render into the notebook);
+    - a DISPLAY-less host -> 'Agg' (headless CI, this image);
+    - an X/Wayland session -> the first importable interactive toolkit
+      (QtAgg, then TkAgg), keeping the current backend if neither loads.
+
+    Returns the backend actually in effect, so callers/tests can assert it.
+    """
+    import os as _os
+    import sys as _sys
+
     if backend:
         matplotlib.use(backend, force=True)
+        return matplotlib.get_backend()
+
+    in_colab = "google.colab" in _sys.modules
+    in_zmq_kernel = False
+    try:  # pragma: no cover - notebook path
+        from IPython import get_ipython
+
+        shell = get_ipython()
+        in_zmq_kernel = bool(shell) and type(shell).__name__ == "ZMQInteractiveShell"
+    except Exception:
+        pass
+
+    if in_colab or in_zmq_kernel:  # pragma: no cover - notebook path
+        try:
+            matplotlib.use("module://matplotlib_inline.backend_inline",
+                           force=True)
+        except Exception:
+            pass  # kernel already provides a working backend
+    elif not (_os.environ.get("DISPLAY") or _os.environ.get("WAYLAND_DISPLAY")
+              or _sys.platform == "darwin"):
+        matplotlib.use("Agg", force=True)
+    else:  # pragma: no cover - needs a display
+        for cand in ("QtAgg", "TkAgg"):
+            try:
+                matplotlib.use(cand, force=True)
+                break
+            except Exception:
+                continue
+    return matplotlib.get_backend()
 
 
 def show():
