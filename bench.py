@@ -828,11 +828,26 @@ DEFAULT_SCHED = [_SCHED_LOOSE, _SCHED_LOOSE, _SCHED_LOOSE,
                  dict(twopass_div=8, twopass_j1=8, maxiter=128)]
 
 
-# Per-GN-iteration IES solver-effort schedule (round-4 VERDICT item 3b):
-# None until a schedule survives the IES parity gate (scripts/parity.py
-# --ies); candidates are screened by scripts/ies_probe.py. If adopted, this
-# becomes a list of 10 per-iteration simulate-kwarg override dicts.
-IES_DEFAULT_SCHED = None
+# Per-GN-iteration IES solver-effort schedule (round-4 VERDICT item 3b).
+# Measured by scripts/ies_probe.py on TPU against the committed exact-f64
+# IES oracle refs (5 seeds, N=192), flagship timing at N=1000 — so the old
+# "IES has no MDA-style loose-pass structure" assertion is now refuted by
+# measurement: early GN iterations' innovations only steer intermediate
+# weight matrices, exactly like loose MDA passes. Screening results
+# (N=1000 wall-clock / parity-ratio median / max over the 5 ref seeds):
+#   base (uniform full accuracy)      40.1 s / 1.103 / 1.326
+#   T8M128all (lean recook, all 10)   11.7 s / 1.072 / 1.211
+#   loose x9 + full last              14.2 s / 1.046 / 1.110
+#   loose x8 + full last two  <-- ADOPTED
+#                                     13.9 s / 1.040 / 1.117
+#   loose x5 + full last five         13.1 s / 1.028 / 1.185
+# The adopted schedule PASSES the ES-MDA parity criterion (median <= 1.05)
+# that the uniform-accuracy baseline failed (1.103): per-seed ratios are
+# chaos-dominated (see scripts/ies_chaos_probe.py + PARITY.md), so spending
+# 3x the solver effort buys no quality — two full-accuracy final iterations
+# pin the converged innovation the posterior actually reads.
+IES_DEFAULT_SCHED = [_SCHED_LOOSE] * 8 + [
+    dict(twopass_div=8, twopass_j1=8, maxiter=128)] * 2
 
 
 def bench_ies_kwargs():

@@ -141,6 +141,50 @@ def test_parity_f64_refs_match_script_defaults():
         assert r["N"] >= 192, "N < p=160+ would flip the analysis branch"
 
 
+def test_ies_parity_artifacts_match_bench_defaults():
+    """The committed IES parity pair (exact-f64-oracle refs + f32 TPU run)
+    must describe the OFFICIAL bench IES settings — including the adopted
+    per-GN-iteration effort schedule (bench.IES_DEFAULT_SCHED). Changing
+    bench_ies_kwargs() without re-running `scripts/parity.py run --ies`
+    detaches the quality claim from the config (round-4 VERDICT item 3)."""
+    import bench
+
+    parity = _parity_script()
+    r = _load_parity_artifact("cpu_f64_refs_ies.json")
+    assert r["sim_kwargs"] == dict(parity.ORACLE_KW, iMax=parity.IES_IMAX,
+                                   xStep=parity.IES_XSTEP)
+    assert r["N"] == parity.N and r["seeds"] == parity.IES_SEEDS
+
+    p = _load_parity_artifact("PARITY_TPU_IES.json")
+    rec = {k: v for k, v in p["sim_kwargs"].items()
+           if k not in ("iMax", "xStep")}
+    assert rec == bench.bench_ies_kwargs()
+    assert p["N"] == parity.N and p["seeds"] == parity.IES_SEEDS
+    assert p["ok"] is True
+
+
+def test_ies_default_sched_shape():
+    """The official IES config ships a per-GN-iteration solver schedule
+    (measured: 40.1 s -> 13.9 s at N=1000 AND better parity than uniform
+    full accuracy — bench.py IES_DEFAULT_SCHED table): iMax=10 entries,
+    final iteration(s) strictly tighter than the loose ones (the posterior
+    reads the converged innovation), and BENCH_IES_SCHED=off disables it."""
+    import os
+    from unittest import mock
+
+    import bench
+
+    kw = bench.bench_ies_kwargs()
+    sched = kw.get("ies_sched")
+    assert sched is not None and len(sched) == 10
+    base_tol = kw["tol"]
+    final_tol = sched[-1].get("tol", base_tol)
+    for ov in sched[:-1]:
+        assert ov.get("tol", base_tol) >= final_tol
+    with mock.patch.dict(os.environ, {"BENCH_IES_SCHED": "off"}):
+        assert "ies_sched" not in bench.bench_ies_kwargs()
+
+
 def test_parity_pcg_xcheck_documents_iterative_f64_gap():
     """The committed cross-check artifact records the posterior gap between
     iterative f64 (MG-PCG tol 1e-7, maxiter 768 — the round-2 reference
