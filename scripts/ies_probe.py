@@ -58,6 +58,26 @@ CANDIDATES = {
     # MAP; late iterations' steps are small but their innovations multiply
     # accumulated W updates)
     "Lx5T5": [L8] * 5 + [T8M128] * 5,
+    # round 2 (after Lx8TT's adoption at 13.9 s): the measured per-iteration
+    # costs say the recook cap, not the tolerance, is the price lever
+    # (L8 ~1.45 s/iter vs T8M128 ~1.17 s despite the 10x looser tol) — so
+    # shave the LOOSE iterations' recook budget and/or tolerance further,
+    # keeping the two full-accuracy final iterations that pin the converged
+    # innovation.
+    # MEASURED (vs Lx8TT's 13.9 s / median 1.040 / max 1.117): all three
+    # buy 1-2 s and break the chaotic seed 3 — LM128x8TT 11.7 s,
+    # median 1.101 max 1.330; XLx8TT 12.8 s, median 1.068 max 1.165;
+    # XLM128x8TT 11.7 s, median 0.997 (best of ALL candidates) but max
+    # 1.292. Same shape as the MDA loose-recook finding: a degraded
+    # intermediate iterate hands the full-accuracy final iterations a
+    # worse ensemble, and the worst seed pays. REJECTED — Lx8TT is the
+    # only candidate inside BOTH criteria (median <= 1.05, worst-seed
+    # ~<= 1.12); the remaining ~2 s are priced in worst-seed quality.
+    "LM128x8TT": [dict(L8, maxiter=128)] * 8 + [T8M128] * 2,
+    "XLx8TT": [dict(tol=5e-3, maxiter=192, patience_iters=96,
+                    twopass_j1=8, twopass_div=8)] * 8 + [T8M128] * 2,
+    "XLM128x8TT": [dict(tol=5e-3, maxiter=128, patience_iters=96,
+                        twopass_j1=8, twopass_div=8)] * 8 + [T8M128] * 2,
 }
 
 
