@@ -1110,12 +1110,14 @@ def main():
     # weak #3). The FULL record goes to a committed sidecar; the one printed
     # line keeps every scalar but drops the bulky per-seed/per-op tables,
     # and self-trims to stay inside the tail window with margin.
-    detail_path = os.path.join(os.path.dirname(PARITY_REFS),
-                               "BENCH_DETAIL.json")
+    # SMALL smoke runs must not clobber the committed full-config sidecar
+    # (the official one is written by the full TPU bench at round end).
+    detail_name = "BENCH_DETAIL_SMALL.json" if SMALL else "BENCH_DETAIL.json"
+    detail_path = os.path.join(os.path.dirname(PARITY_REFS), detail_name)
     try:
         with open(detail_path, "w") as f:
             json.dump(record, f, indent=1)
-        record["detail_file"] = "parity/BENCH_DETAIL.json"
+        record["detail_file"] = f"parity/{detail_name}"
     except OSError:  # pragma: no cover — read-only checkout
         pass
     print(compact_line(record))

@@ -153,7 +153,12 @@ def _gd_scan_impl(objective, u0, key, chol, nEns, precond, nrmlz, nIter, sign,
         dJ = obj_v(u + dU)
         g = _grad_precond(dU, dJ) if precond else _grad_lls(dU, dJ)
         if nrmlz:
-            g = g / jnp.sqrt(jnp.mean(g * g))
+            # Zero-gradient guard (flat objective, e.g. pre-breakthrough NPV):
+            # 0/0 would NaN every trial point; a zero direction instead makes
+            # all trials == u, none accepted, and the state freezes (= GD's
+            # converged exit).
+            gn = jnp.sqrt(jnp.mean(g * g))
+            g = jnp.where(gn > 0, g / jnp.where(gn > 0, gn, 1.0), 0.0)
         U1 = u[None, :] + sign * steps[:, None] * g[None, :]
         J1 = obj_v(U1)
         atol = jnp.maximum(1e-8, jnp.abs(J)) * rtol
@@ -282,7 +287,13 @@ def GD(objective, u, nabla=None, line_search=None, nrmlz=True, nIter=100, key=No
         grad = np.asarray(nabla(objective, jnp.asarray(u_cur), sub))
         info["grad"] = grad
         if nrmlz:
-            grad = grad / np.sqrt(np.mean(grad**2))
+            gn = float(np.sqrt(np.mean(grad**2)))
+            if gn == 0.0 or not np.isfinite(gn):
+                # Flat (or invalid-everywhere) objective: no direction to
+                # normalize — stop as converged rather than NaN the trials.
+                info["cause"] = "GD converged"
+                break
+            grad = grad / gn
         updated = line_search(objective, u_cur, J, grad)
         if callback is not None:
             callback(dict(iter=itr + 1, nIter=nIter,

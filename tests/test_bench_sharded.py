@@ -89,6 +89,49 @@ def test_bench_localized_sharded_matches_unsharded(key):
     assert np.allclose(post_sh, post_ref, atol=1e-8), np.abs(post_sh - post_ref).max()
 
 
+def test_robust_enopt_sharded_matches_unsharded(key):
+    """Robust EnOpt with the uncertainty ensemble member-sharded over the
+    mesh (round-5, mirrors the dryrun's enopt leg): the StoSAG gradient and
+    the batched line search evaluate the objective over the sharded model
+    ensemble — GSPMD partitions the paired forward simulations; the GD
+    trajectory must match the unsharded run."""
+    from historymatching_tpu.opt.enopt import GD, Backtracker, EnGrad
+    from historymatching_tpu.opt.npv import NPVConfig, npv_value
+    from historymatching_tpu.parallel.runner import set_perm
+
+    model, prior, _, _, k_gd = _bench_setup(key)
+    mesh = ens_mesh()
+    cfg = NPVConfig(dt=0.025, nTime=NTIME, rate0=1.0)
+
+    def make_obj(X):
+        def obj_ux(u, x):
+            m = set_perm(model.replace(inj_xy=u.reshape(1, 2)), x)
+            return npv_value(m, cfg, wsat0=jnp.zeros(model.Nxy, prior.dtype))
+
+        def obj_mean(u):
+            return jax.vmap(obj_ux, in_axes=(None, 0))(u, X).mean()
+
+        return obj_ux, obj_mean
+
+    u0 = jnp.asarray([model.Lx / 2, model.Ly / 2], prior.dtype)
+    ls = Backtracker(xSteps=(0.5, 0.25))  # 2 trials keep CPU time sane
+    runs = {}
+    for tag, X in (("ref", prior), ("sharded", shard_ens(prior, mesh))):
+        obj_ux, obj_mean = make_obj(X)
+        nabla = EnGrad(chol=0.05, nEns=N, robustly="StoSAG",
+                       obj_ux=obj_ux, X=X)
+        runs[tag] = GD(obj_mean, u0, nabla=nabla, line_search=ls,
+                       nIter=1, key=k_gd)
+    path_ref, objs_ref, _ = runs["ref"]
+    path_sh, objs_sh, _ = runs["sharded"]
+    assert np.all(np.isfinite(path_sh)) and np.all(np.isfinite(objs_sh))
+    assert path_sh.shape == path_ref.shape
+    assert np.allclose(path_sh, path_ref, atol=1e-8), (
+        np.abs(path_sh - path_ref).max())
+    assert np.allclose(objs_sh, objs_ref, atol=1e-8), (
+        np.abs(objs_sh - objs_ref).max())
+
+
 def test_ies_sharded_matches_unsharded(key):
     """IES with the forward model sharded over the mesh (round-3 VERDICT
     item 4b): the N x N weight-matrix Gauss-Newton iteration consumes a

@@ -247,3 +247,29 @@ def test_gd_scan_precond_and_budget(key):
                                precond=True, nIter=25, key=key)
     assert objs[-1] > objs[0]
     assert len(path) == len(objs) == info["nIter"] + 1
+
+
+def test_flat_objective_zero_gradient_guard(key):
+    """A locally flat objective (e.g. pre-breakthrough NPV: every member
+    identical) yields an exactly-zero ensemble gradient; the nrmlz division
+    must not NaN the trials — GD stops as converged, gd_scan freezes."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from historymatching_tpu.opt.enopt import gd_scan
+
+    def flat(u):
+        return jnp.asarray(0.0) * jnp.sum(u)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        path, objs, info = GD(flat, jnp.array([1.0, 2.0]), nIter=5, key=key)
+        assert info["cause"] == "GD converged"
+        assert len(path) == 1 and np.all(np.isfinite(path))
+
+        path_s, objs_s, info_s = gd_scan(flat, jnp.array([1.0, 2.0]),
+                                         nIter=5, key=key)
+        assert np.all(np.isfinite(path_s)) and np.all(np.isfinite(objs_s))
+        assert info_s["nIter"] == 0  # no step ever accepted
+        assert np.allclose(path_s, path_s[0], atol=0)
